@@ -1,0 +1,121 @@
+"""Benchmark: REML-Wald LMM association throughput on the default device.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "SNPs/s", "vs_baseline": N}
+
+``value`` is SNPs/sec for the full per-SNP REML pipeline (rotation of the
+genotype block into the eigenbasis + lambda grid/bisection/Newton solve +
+Wald statistics) on synthetic data shaped like the reference's UKB benchmark
+tier (experiments/benchmarks/benchmarks.py:110-149).  ``vs_baseline`` is the
+ratio against a single-core CPU implementation of the reference pyGEMMA
+algorithm (baselines/cpu_pygemma.py) timed on a subset of the same problem
+on this host.
+
+Environment knobs: PYGEMMA_BENCH_N, PYGEMMA_BENCH_P, PYGEMMA_BENCH_C,
+PYGEMMA_BENCH_BASELINE_SNPS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    n = int(os.environ.get("PYGEMMA_BENCH_N", 10_000))
+    p = int(os.environ.get("PYGEMMA_BENCH_P", 16_384))
+    c = int(os.environ.get("PYGEMMA_BENCH_C", 3))
+    base_snps = int(os.environ.get("PYGEMMA_BENCH_BASELINE_SNPS", 48))
+
+    import jax
+    import jax.numpy as jnp
+
+    from pygemma_tpu.config import GwasConfig
+    from pygemma_tpu.core.assoc import assoc_block
+    from pygemma_tpu.core.eigen import eigendecompose
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} | n={n} p={p} c={c}")
+
+    rng = np.random.default_rng(0)
+    G = rng.binomial(2, 0.3, size=(n, p)).astype(np.float32)
+    G = (G - G.mean(0)) / np.maximum(G.std(0), 1e-6)
+    W = np.c_[np.ones(n), rng.normal(size=(n, c - 1))].astype(np.float32)
+    y = (0.25 * G[:, : p // 50].sum(1) / max(1, p // 50) ** 0.5
+         + rng.normal(size=n)).astype(np.float32)
+
+    # kinship + eigh on device (one-time cost, reported but not in the rate)
+    t0 = time.time()
+    G_dev = jnp.asarray(G)
+    K = (G_dev @ G_dev.T) / p
+    ev, U = eigendecompose(K + 1e-3 * jnp.eye(n, dtype=jnp.float32))
+    ev.block_until_ready()
+    t_eigh = time.time() - t0
+    log(f"kinship + eigh: {t_eigh:.2f}s")
+
+    cfg = GwasConfig(snp_block=2048)
+    B = cfg.snp_block
+
+    @jax.jit
+    def step(U, ev, W_r, y_r, xb):
+        xr = U.T @ xb
+        res = assoc_block(ev, W_r, y_r, xr, cfg)
+        return res.beta, res.se_beta, res.tau, res.lam, res.F_wald
+
+    W_r = U.T @ jnp.asarray(W)
+    y_r = U.T @ jnp.asarray(y)
+
+    # warmup / compile
+    out = step(U, ev, W_r, y_r, G_dev[:, :B])
+    jax.block_until_ready(out)
+    log("compiled")
+
+    t0 = time.time()
+    nfin = 0
+    for s in range(0, p, B):
+        out = step(U, ev, W_r, y_r, jax.lax.dynamic_slice_in_dim(G_dev, s, B, 1))
+        nfin += int(np.isfinite(np.asarray(out[0])).sum())
+    jax.block_until_ready(out)
+    t_scan = time.time() - t0
+    tpu_rate = p / t_scan
+    log(f"scan: {t_scan:.2f}s -> {tpu_rate:.1f} SNPs/s (finite beta: {nfin}/{p})")
+
+    # --- CPU single-core baseline on a subset --------------------------------
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from baselines.cpu_pygemma import run_gwas as cpu_run
+
+    ev_h = np.asarray(ev, np.float64)
+    W_h = np.asarray(W_r, np.float64)
+    y_h = np.asarray(y_r, np.float64)
+    X_h = np.asarray(U.T @ G_dev[:, :base_snps], np.float64)
+    t0 = time.time()
+    cpu_out = cpu_run(ev_h, W_h, y_h, X_h)
+    t_cpu = time.time() - t0
+    cpu_rate = base_snps / t_cpu
+    log(f"cpu baseline: {base_snps} SNPs in {t_cpu:.2f}s -> {cpu_rate:.2f} SNPs/s")
+
+    # sanity: results agree on the subset
+    tpu_beta = np.asarray(step(U, ev, W_r, y_r, G_dev[:, :B])[0])[:base_snps]
+    rel = np.nanmedian(
+        np.abs(tpu_beta - cpu_out["beta"]) / np.maximum(np.abs(cpu_out["beta"]), 1e-8)
+    )
+    log(f"median |beta rel diff| vs baseline: {rel:.2e}")
+
+    print(json.dumps({
+        "metric": f"reml_wald_snps_per_sec_n{n}",
+        "value": round(tpu_rate, 2),
+        "unit": "SNPs/s",
+        "vs_baseline": round(tpu_rate / cpu_rate, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

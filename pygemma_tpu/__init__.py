@@ -1,0 +1,13 @@
+"""pygemma_tpu: a TPU-native linear-mixed-model GWAS engine (GEMMA method).
+
+Built from scratch against the behavioural spec of rlangefe/pygemma (see
+SURVEY.md); compute path is JAX/XLA/Pallas, batched over SNPs and sharded
+over device meshes.
+"""
+
+__version__ = "0.1.0"
+
+from .api import pygemma
+from .config import GwasConfig, from_env
+
+__all__ = ["pygemma", "GwasConfig", "from_env", "__version__"]

@@ -1,0 +1,222 @@
+"""Public driver: ``pygemma(Y, X, W, K, ...) -> pandas.DataFrame``.
+
+API-compatible with the reference driver (``lmm.pygemma``, reference
+lmm/lmm.py:87) but executed as jit-compiled scans over SNP blocks on TPU
+instead of a multiprocessing pool over column slices (lmm/lmm.py:363-401).
+
+Output schema parity: columns ``beta, se_beta, tau, lambda, F_wald, p_wald``
+(+ ``SNPs`` when snp names are given; reference lmm/lmm.py:403-411), extended
+with ``p_lrt`` / ``p_score`` / ``logl_H1`` when those tests are requested
+(present in GEMMA's own output schema that the reference parses,
+experiments/1000G/plot_gemma.py:11, but unimplemented there).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+from scipy import stats
+
+from .config import GwasConfig, from_env
+from .core import assoc as assoc_mod
+from .core.assoc import NullFit, assoc_block, fit_null
+from .core.eigen import eigendecompose, loading_transform, rotate
+from .utils.logging import StageLogger
+
+_CACHE_SET = False
+
+
+def _enable_compile_cache() -> None:
+    """Persist XLA compilations across processes: the eigh/assoc graphs are
+    expensive to compile (remote-compile TPU backends especially) but fully
+    shape-cacheable."""
+    global _CACHE_SET
+    if _CACHE_SET:
+        return
+    _CACHE_SET = True
+    import os
+
+    try:
+        cache_dir = os.environ.get(
+            "PYGEMMA_TPU_COMPILE_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "pygemma_tpu_xla"),
+        )
+        if cache_dir and cache_dir != "0":
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+@partial(jax.jit, static_argnames=("cfg", "de"))
+def _assoc_block_jit(ev, W, y, Xblock, cfg, null_arr, de):
+    null = (
+        NullFit(null_arr[0], null_arr[1], null_arr[2])
+        if null_arr is not None
+        else None
+    )
+    return assoc_block(ev, W, y, Xblock, cfg, null=null, de=de)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _fit_null_jit(ev, W, y, cfg):
+    nf = fit_null(ev, W, y, cfg)
+    return jnp.stack([nf.lambda_reml, nf.lambda_ml, nf.loglik_ml])
+
+
+def _host_pvalues(res: dict, n: int, c: int, tests) -> None:
+    """Recompute p-values on host in float64 with scipy for exact parity with
+    the reference's ``stats.f.sf`` (lmm/lmm.py:482)."""
+    df = n - c - 1
+    res["p_wald"] = stats.f.sf(np.float64(res["F_wald"]), 1, df)
+    if "lrt" in tests:
+        res["p_lrt"] = stats.chi2.sf(np.float64(res.pop("D_lrt")), 1)
+    if "score" in tests:
+        res["p_score"] = stats.f.sf(np.float64(res.pop("F_score")), 1, df)
+
+
+def pygemma(
+    Y,
+    X,
+    W=None,
+    K=None,
+    Z=None,
+    snps: Optional[Sequence[str]] = None,
+    verbose: int = 0,
+    disable_checks: bool = True,
+    de: bool = False,
+    grid: bool = False,
+    eigen: bool = True,
+    nproc: Optional[int] = None,  # accepted for API parity; devices rule here
+    tests: Sequence[str] = ("wald",),
+    config: Optional[GwasConfig] = None,
+) -> pd.DataFrame:
+    """Genome-wide LMM association scan (GEMMA method), TPU-native.
+
+    Args mirror the reference driver (lmm/lmm.py:87-106):
+      Y: (n,) or (n,1) phenotype (or (n,k): each column scanned in turn,
+         results stacked with a ``pheno`` column).
+      X: (n, p) genotype matrix.
+      W: (n, c) covariates; None -> intercept only.
+      K: (n, n) kinship, or, when ``eigen=False``, the precomputed eigenvalue
+         vector of K with X/Y/W already rotated (the reference's external-
+         eigendecomposition seam, experiments/large_gwas/run_pygemma.py:57-65).
+      Z: optional loading matrix, K <- Z K Z' (lmm/lmm.py:124-125).
+      de: differential-expression mode -- swaps roles of x and y
+         (lmm/lmm.py:498-532).
+      grid: pure grid-search lambda (pygemma_model.pyx:99-132).
+      tests: any of "wald", "lrt", "score".
+    """
+    _enable_compile_cache()
+    cfg = config or from_env()
+    if grid:
+        cfg = cfg.replace(grid=True)
+    if tuple(tests) != cfg.tests:
+        cfg = cfg.replace(tests=tuple(tests))
+    log = StageLogger(verbose)
+
+    dtype = np.dtype(cfg.dtype)
+    Y = np.asarray(Y, dtype=dtype)
+    if Y.ndim == 1:
+        Y = Y[:, None]
+    X = np.asarray(X, dtype=dtype)
+    n, p = X.shape
+    if W is None:
+        W = np.ones((n, 1), dtype=dtype)
+    else:
+        W = np.asarray(W, dtype=dtype)
+    c = W.shape[1]
+
+    if not disable_checks:
+        for name, arr in (("X", X), ("Y", Y), ("W", W)):
+            if np.isnan(arr).any():
+                raise ValueError(f"NaNs present in {name}")
+
+    if Z is not None and eigen:
+        K = np.asarray(loading_transform(jnp.asarray(Z, dtype), jnp.asarray(K, dtype)))
+
+    # --- eigendecomposition + rotation (lmm/lmm.py:151-167, 243-246) -------
+    if eigen:
+        with log.stage("eigendecomposition"):
+            ev_dev, U_dev = eigendecompose(jnp.asarray(K, dtype))
+            ev_dev.block_until_ready()
+        with log.stage("rotation of W, Y"):
+            W_dev = rotate(U_dev, jnp.asarray(W))
+            Y_dev = rotate(U_dev, jnp.asarray(Y))
+    else:
+        ev = np.maximum(0.0, np.asarray(K, dtype=dtype).reshape(-1))
+        ev_dev = jnp.asarray(ev)
+        U_dev = None
+        W_dev = jnp.asarray(W)
+        Y_dev = jnp.asarray(Y)
+
+    B = min(cfg.snp_block, max(p, 1))
+    n_pheno = Y.shape[1]
+    frames = []
+    for ph in range(n_pheno):
+        y_dev = Y_dev[:, ph]
+        null_arr = None
+        if ("lrt" in cfg.tests) or ("score" in cfg.tests):
+            with log.stage("null-model fit"):
+                null_arr = _fit_null_jit(ev_dev, W_dev, y_dev, cfg)
+
+        cols = {k: [] for k in ("beta", "se_beta", "tau", "lambda", "F_wald")}
+        if "lrt" in cfg.tests:
+            cols["lambda_ml"] = []
+            cols["logl_H1"] = []
+            cols["D_lrt"] = []
+        if "score" in cfg.tests:
+            cols["F_score"] = []
+
+        with log.stage(f"association scan ({p} SNPs, n={n})"):
+            for start in range(0, p, B):
+                stop = min(start + B, p)
+                xb = X[:, start:stop]
+                if xb.shape[1] < B:  # pad the final block to the static shape
+                    xb = np.pad(xb, ((0, 0), (0, B - xb.shape[1])))
+                xb_dev = jnp.asarray(xb)
+                if U_dev is not None:
+                    xb_dev = rotate(U_dev, xb_dev)
+                res = _assoc_block_jit(
+                    ev_dev, W_dev, y_dev, xb_dev, cfg, null_arr, de
+                )
+                m = stop - start
+                cols["beta"].append(np.asarray(res.beta[:m]))
+                cols["se_beta"].append(np.asarray(res.se_beta[:m]))
+                cols["tau"].append(np.asarray(res.tau[:m]))
+                cols["lambda"].append(np.asarray(res.lam[:m]))
+                cols["F_wald"].append(np.asarray(res.F_wald[:m]))
+                if "lrt" in cfg.tests:
+                    cols["lambda_ml"].append(np.asarray(res.lambda_ml[:m]))
+                    cols["logl_H1"].append(np.asarray(res.logl_H1[:m]))
+                    null_ml = float(null_arr[2])
+                    cols["D_lrt"].append(
+                        2.0 * (np.asarray(res.logl_H1[:m], np.float64) - null_ml)
+                    )
+                if "score" in cfg.tests:
+                    cols["F_score"].append(np.asarray(res.F_score[:m]))
+
+        out = {k: np.concatenate(v) if v else np.array([]) for k, v in cols.items()}
+        _host_pvalues(out, n, c, cfg.tests)
+        df = pd.DataFrame(out)
+        # Column order parity with the reference (lmm/lmm.py:129-142).
+        order = ["beta", "se_beta", "tau", "lambda", "F_wald", "p_wald"]
+        order += [k for k in df.columns if k not in order]
+        df = df[order]
+        if n_pheno > 1:
+            df["pheno"] = ph
+        frames.append(df)
+
+    results_df = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+    if snps is not None:
+        results_df["SNPs"] = (
+            list(snps) * n_pheno if n_pheno > 1 else list(snps)
+        )
+    return results_df

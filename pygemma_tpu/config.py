@@ -1,0 +1,107 @@
+"""Run-time configuration for the TPU-native LMM-GWAS engine.
+
+The reference (rlangefe/pygemma) has no config system: behaviour is spread over
+``pygemma()`` kwargs (``lmm/lmm.py:87``), argparse CLIs and environment
+variables (``experiments/wtccc/run_pygemma.py:14-19``).  Here every tunable is
+a field on :class:`GwasConfig`, overridable from the environment with a
+``PYGEMMA_TPU_`` prefix.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional, Sequence, Tuple
+
+# Pivot/denominator clamp used throughout the reference numeric kernels
+# (reference pygemma_model/pygemma_model.pyx:39).
+MIN_VAL = 1e-35
+
+# Decade bracketing range for the variance-ratio lambda
+# (reference pygemma_model/pygemma_model.pyx:85-86).
+LAMBDA_POW_LOW = -5.0
+LAMBDA_POW_HIGH = 5.0
+
+
+@dataclasses.dataclass(frozen=True)
+class GwasConfig:
+    """All knobs for one GWAS run.
+
+    Defaults reproduce the reference driver semantics
+    (``lmm/lmm.py:87`` kwargs ``grid``, ``eigen``, ``de`` ...).
+    """
+
+    # --- numerics -----------------------------------------------------------
+    #: device compute dtype ("float32" on TPU; "float64" for CPU oracle runs)
+    dtype: str = "float32"
+    #: clamp for denominators / quadratic forms (pygemma_model.pyx:39)
+    min_val: float = MIN_VAL
+
+    # --- lambda optimizer ---------------------------------------------------
+    #: decade-bracket endpoints: lambda in [10**low, 10**high]
+    lambda_pow_low: float = LAMBDA_POW_LOW
+    lambda_pow_high: float = LAMBDA_POW_HIGH
+    #: number of masked bisection iterations per bracketed root
+    bisect_iters: int = 18
+    #: number of masked safeguarded-Newton iterations per root
+    newton_iters: int = 12
+    #: Newton relative-step convergence tolerance (pygemma_model.pyx:1411)
+    newton_rtol: float = 1e-5
+    #: maximum number of sign-change brackets refined per SNP.  The reference
+    #: refines every sign-change bracket sequentially
+    #: (pygemma_model.pyx:154-194); on TPU each extra root slot costs a full
+    #: masked refinement pass, and >2 real roots is vanishingly rare.
+    max_roots: int = 2
+    #: use the pure grid search instead of bracket+Newton
+    #: (reference grid=True path, pygemma_model.pyx:99-132)
+    grid: bool = False
+
+    # --- batching / sharding ------------------------------------------------
+    #: SNPs per device batch (static shape inside jit); the driver pads the
+    #: final block.  Analogous to the reference's SNP-block split
+    #: (lmm/lmm.py:427-436) but vectorized instead of multiprocessed.
+    snp_block: int = 2048
+    #: name of the SNP-sharded mesh axis (data parallel over chips)
+    snp_axis: str = "snp"
+    #: name of the sample-sharded mesh axis (for distributed eigh/rotation)
+    sample_axis: str = "sample"
+
+    # --- statistical tests --------------------------------------------------
+    #: which association tests to run.  The reference implements Wald only
+    #: (lmm/lmm.py:461-495); "lrt" and "score" follow GEMMA's -lmm 2/3.
+    tests: Tuple[str, ...] = ("wald",)
+
+    # --- behaviour flags (reference kwarg parity) ---------------------------
+    verbose: int = 0
+    disable_checks: bool = True
+
+    def replace(self, **kw) -> "GwasConfig":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def n_grid(self) -> int:
+        """Number of decade points: 10^low .. 10^high inclusive."""
+        return int(round(self.lambda_pow_high - self.lambda_pow_low)) + 1
+
+
+def _coerce(val: str, target_type):
+    if target_type is bool:
+        return val.lower() in ("1", "true", "yes", "on")
+    if target_type is int:
+        return int(val)
+    if target_type is float:
+        return float(val)
+    if target_type in (tuple, Tuple[str, ...]):
+        return tuple(s.strip() for s in val.split(",") if s.strip())
+    return val
+
+
+def from_env(base: Optional[GwasConfig] = None) -> GwasConfig:
+    """Build a config overriding fields from ``PYGEMMA_TPU_<FIELD>`` env vars."""
+    cfg = base or GwasConfig()
+    updates = {}
+    for f in dataclasses.fields(GwasConfig):
+        key = "PYGEMMA_TPU_" + f.name.upper()
+        if key in os.environ:
+            updates[f.name] = _coerce(os.environ[key], f.type if isinstance(f.type, type) else type(getattr(cfg, f.name)))
+    return cfg.replace(**updates) if updates else cfg

@@ -1,0 +1,172 @@
+"""Per-block association testing: Wald / LRT / score, batched over SNPs.
+
+This is the TPU replacement for the reference's per-SNP worker loop
+(``calculate`` / ``calculate_de``, reference lmm/lmm.py:461-532): a single
+jit-compiled function maps a block of rotated genotype columns to per-SNP
+statistics.  Per-SNP failure containment (reference catches LinAlgError and
+emits a NaN row, lmm/lmm.py:484-493) falls out naturally: a singular design
+makes the batched Cholesky produce NaNs for that SNP only.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import GwasConfig, MIN_VAL
+from . import reml
+from .grams import (
+    grams_per_snp_lambda,
+    grams_shared_lambda,
+    pair_products,
+    permute_x_before_y,
+)
+from .solver import LambdaProblem, solve_lambda
+
+
+class NullFit(NamedTuple):
+    """Null-model (no SNP) quantities shared by a whole phenotype's scan."""
+
+    lambda_reml: jnp.ndarray  # () REML lambda under y ~ W
+    lambda_ml: jnp.ndarray  # () ML lambda under y ~ W
+    loglik_ml: jnp.ndarray  # () ML log-likelihood at lambda_ml
+
+
+class AssocResult(NamedTuple):
+    beta: jnp.ndarray
+    se_beta: jnp.ndarray
+    tau: jnp.ndarray
+    lam: jnp.ndarray
+    F_wald: jnp.ndarray
+    p_wald: jnp.ndarray
+    p_lrt: Optional[jnp.ndarray]
+    p_score: Optional[jnp.ndarray]
+    F_score: Optional[jnp.ndarray]
+    lambda_ml: Optional[jnp.ndarray]
+    logl_H1: Optional[jnp.ndarray]
+
+
+def f_sf(F, dfd):
+    """Survival function of F(1, dfd) via the regularized incomplete beta.
+
+    Device-side analogue of the reference's scipy ``stats.f.sf``
+    (lmm/lmm.py:482); the driver recomputes p-values on host in float64 for
+    the output table, so this is used by jit-only consumers (and kept for
+    parity checks).
+    """
+    F = jnp.maximum(F, 0.0)
+    x = dfd / (dfd + F)
+    return jax.scipy.special.betainc(dfd / 2.0, 0.5, x)
+
+
+def chi2_sf_1df(x):
+    """chi^2(1) survival function: p = Gamma_upper(1/2, x/2)/Gamma(1/2)."""
+    return jax.scipy.special.gammaincc(0.5, jnp.maximum(x, 0.0) / 2.0)
+
+
+def fit_null(ev, W, y, cfg: GwasConfig) -> NullFit:
+    """Fit the null model y ~ W once per phenotype (for score/LRT tests)."""
+    n, c = W.shape
+    pairs = pair_products(W)
+    v = y[:, None]
+    v2 = v * v
+    prob_reml = LambdaProblem(ev, W, pairs, v, v2, n, c, False, True)
+    lam_reml, _ = solve_lambda(prob_reml, cfg)
+    prob_ml = LambdaProblem(ev, W, pairs, v, v2, n, c, False, False)
+    lam_ml, logl_ml = solve_lambda(prob_ml, cfg)
+    return NullFit(lam_reml[0], lam_ml[0], logl_ml[0])
+
+
+def assoc_block(
+    ev: jnp.ndarray,  # (n,) clamped kinship eigenvalues
+    W: jnp.ndarray,  # (n, c) rotated covariates
+    y: jnp.ndarray,  # (n,) rotated phenotype
+    X: jnp.ndarray,  # (n, B) rotated genotype block
+    cfg: GwasConfig,
+    null: Optional[NullFit] = None,
+    de: bool = False,
+) -> AssocResult:
+    """Run the LMM association tests for one SNP block.
+
+    Standard mode fits  y = W a + x b + u + e  per SNP x; DE mode
+    (reference lmm/lmm.py:498-532) swaps roles and fits  x = W a + y b + u + e.
+    """
+    n, c = W.shape
+    B = X.shape[1]
+    dtype = X.dtype
+    shared = jnp.concatenate([W, y[:, None]], axis=1)  # (n, c+1): [W, y]
+    pairs = pair_products(shared)
+    X2 = X * X
+
+    # Lambda optimization with the full design.  Standard: design [W, x]
+    # (permuted Gram order [W, x, y]); DE: design [W, y], outcome x.
+    prob = LambdaProblem(
+        ev, shared, pairs, X, X2, n, c + 1, not de, True
+    )
+    lam_star, _ = solve_lambda(prob, cfg)
+
+    # Final statistics at lambda*: one k=1 Gram build.
+    grams, sums = grams_per_snp_lambda(
+        lam_star, ev, shared, pairs, X, X2, (1,), want_logh=False
+    )
+    A1 = grams[0]
+    if not de:
+        A1 = permute_x_before_y(A1, c)
+    # Predictor-of-interest quadratic forms against the null design W
+    # (reference calc_beta_vg_ve_restricted_overload, pyx:1514-1537).
+    xPx, xPy, _ = reml.predictor_terms(A1, c)
+    alt = reml.reml_scalars(A1, None, None, sums, c + 1)
+    yPxy = jnp.maximum(alt.yPy, MIN_VAL)
+
+    df = float(n - c - 1)
+    beta = xPy / xPx
+    se_beta = jnp.sqrt(yPxy) / (
+        jnp.sqrt(jnp.maximum(xPx, MIN_VAL)) * math.sqrt(df)
+    )
+    tau = df / yPxy
+    F_wald = jnp.square(beta / se_beta)
+    p_wald = f_sf(F_wald, df)
+
+    p_lrt = logl_H1 = lam_ml = None
+    if "lrt" in cfg.tests:
+        # GEMMA -lmm 2: ML lambda per SNP, D = 2(l1 - l0), chi^2(1).
+        prob_ml = LambdaProblem(
+            ev, shared, pairs, X, X2, n, c + 1, not de, False
+        )
+        lam_ml, logl_H1 = solve_lambda(prob_ml, cfg)
+        assert null is not None, "LRT requires a null-model fit"
+        D = 2.0 * (logl_H1 - null.loglik_ml)
+        p_lrt = chi2_sf_1df(D)
+
+    p_score = F_score = None
+    if "score" in cfg.tests:
+        # GEMMA -lmm 3: score statistic at the null REML lambda.
+        assert null is not None, "score test requires a null-model fit"
+        grams0, _ = grams_shared_lambda(
+            null.lambda_reml.astype(dtype), ev, shared, pairs, X, X2, (1,)
+        )
+        A1s = grams0[0]
+        if not de:
+            A1s = permute_x_before_y(A1s, c)
+        sxPx, sxPy, syPy = reml.predictor_terms(A1s, c)
+        F_score = (
+            n * jnp.square(sxPy) / (jnp.maximum(syPy * sxPx, MIN_VAL))
+        )
+        p_score = f_sf(F_score, df)
+
+    return AssocResult(
+        beta=beta,
+        se_beta=se_beta,
+        tau=tau,
+        lam=lam_star,
+        F_wald=F_wald,
+        p_wald=p_wald,
+        p_lrt=p_lrt,
+        p_score=p_score,
+        F_score=F_score,
+        lambda_ml=lam_ml,
+        logl_H1=logl_H1,
+    )

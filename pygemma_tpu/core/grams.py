@@ -1,0 +1,181 @@
+"""Batched Gram-matrix construction for the GEMMA rotated-space REML problem.
+
+This replaces the reference's per-SNP sequential rank-1-downdate engine
+(``precompute_mat``, reference pygemma_model/pygemma_model.pyx:880-1053) with a
+TPU-first formulation.  In the eigenbasis of the kinship matrix, every
+quantity the REML/ML lambda optimization and the Wald/LRT/score statistics
+need is a function of the small Gram matrices
+
+    A_k = T' diag(1 / (lam * Lambda + 1)^k) T,      k = 1, 2, 3
+
+where ``T = [shared columns | per-SNP column]`` stacks the rotated covariates,
+phenotype and one genotype column.  Building ``A_k`` for a whole block of B
+SNPs at once is a handful of large matmuls (MXU work), after which all
+likelihood evaluations are O(B * t^3) batched small-matrix algebra
+(:mod:`pygemma_tpu.core.reml`).
+
+Two paths are provided:
+
+* :func:`grams_shared_lambda` -- one lambda for every SNP in the block (the
+  decade-grid sweep; reference grid path pygemma_model.pyx:99-132).  Pure
+  GEMM, no (B, n) temporaries.
+* :func:`grams_per_snp_lambda` -- each SNP carries its own lambda (bisection /
+  Newton refinement).  Builds (B, n) weight matrices; this is the kernel the
+  Pallas fusion in :mod:`pygemma_tpu.ops.gram_kernel` targets.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class GramSums(NamedTuple):
+    """Per-SNP (or scalar, when lambda is shared) eigenvalue-weight sums.
+
+    ``sum_d``   = sum_i 1/(lam*Lambda_i + 1)        -> tr(H^-1)
+    ``sum_d2``  = sum_i 1/(lam*Lambda_i + 1)^2      -> tr(H^-2)
+    ``sum_logh``= sum_i log(lam*Lambda_i + 1)       -> logdet(H)
+    """
+
+    sum_d: jnp.ndarray
+    sum_d2: jnp.ndarray
+    sum_logh: jnp.ndarray
+
+
+def pair_index(s: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Upper-triangle (i<=j) index pair arrays for s shared columns."""
+    return np.triu_indices(s)
+
+
+def pair_products(shared: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise pair products of the shared columns.
+
+    shared: (n, s)  ->  (n, m) with m = s*(s+1)/2, column order = triu (i<=j).
+
+    This is the batched analogue of GEMMA's ``CalcUab`` precomputation; the
+    reference reaches the same quantities one SNP at a time through BLAS
+    dsyrk/dsyr calls (pygemma_model.pyx:938-943).
+    """
+    iu, ju = pair_index(shared.shape[1])
+    return shared[:, iu] * shared[:, ju]
+
+
+def unpack_sym(vec: jnp.ndarray, s: int) -> jnp.ndarray:
+    """Inverse of :func:`pair_products` reduction: (..., m) -> (..., s, s)."""
+    iu, ju = pair_index(s)
+    out_shape = vec.shape[:-1] + (s, s)
+    out = jnp.zeros(out_shape, vec.dtype)
+    out = out.at[..., iu, ju].set(vec)
+    out = out.at[..., ju, iu].set(vec)
+    return out
+
+
+def _assemble(
+    S_k: jnp.ndarray,  # (B, s, s) or (s, s) shared-block Gram
+    vS_k: jnp.ndarray,  # (B, s)   per-SNP-column vs shared columns
+    vv_k: jnp.ndarray,  # (B,)     per-SNP-column vs itself
+    B: int,
+    s: int,
+) -> jnp.ndarray:
+    """Assemble the (B, s+1, s+1) Gram with the per-SNP column last."""
+    if S_k.ndim == 2:
+        S_k = jnp.broadcast_to(S_k, (B, s, s))
+    A = jnp.zeros((B, s + 1, s + 1), S_k.dtype)
+    A = A.at[:, :s, :s].set(S_k)
+    A = A.at[:, :s, s].set(vS_k)
+    A = A.at[:, s, :s].set(vS_k)
+    A = A.at[:, s, s].set(vv_k)
+    return A
+
+
+def grams_shared_lambda(
+    lam: jnp.ndarray,  # scalar
+    ev: jnp.ndarray,  # (n,)
+    shared: jnp.ndarray,  # (n, s)
+    pairs: jnp.ndarray,  # (n, m) = pair_products(shared)
+    v: jnp.ndarray,  # (n, B) per-SNP columns
+    v2: jnp.ndarray,  # (n, B) = v * v
+    ks: Sequence[int],
+    want_logh: bool = False,
+) -> Tuple[Tuple[jnp.ndarray, ...], GramSums]:
+    """Gram tensors with one lambda for the whole SNP block.
+
+    Cost: one (B,n)x(n,s) GEMM and one (B,n)x(n,) matvec per k; the shared
+    s x s block is an O(n m) reduction shared by every SNP.
+    """
+    n, s = shared.shape
+    B = v.shape[1]
+    h = lam * ev + 1.0
+    d = 1.0 / h
+    grams = []
+    dk = d
+    for k in range(1, max(ks) + 1):
+        if k in ks:
+            S_k = unpack_sym(pairs.T @ dk, s)  # (s, s)
+            vS_k = v.T @ (dk[:, None] * shared)  # (B, s)
+            vv_k = v2.T @ dk  # (B,)
+            grams.append(_assemble(S_k, vS_k, vv_k, B, s))
+        dk = dk * d
+    sums = GramSums(
+        sum_d=jnp.sum(d),
+        sum_d2=jnp.sum(d * d),
+        sum_logh=jnp.sum(jnp.log(h)) if want_logh else jnp.zeros((), d.dtype),
+    )
+    return tuple(grams), sums
+
+
+def grams_per_snp_lambda(
+    lam: jnp.ndarray,  # (B,)
+    ev: jnp.ndarray,  # (n,)
+    shared: jnp.ndarray,  # (n, s)
+    pairs: jnp.ndarray,  # (n, m)
+    v: jnp.ndarray,  # (n, B)
+    v2: jnp.ndarray,  # (n, B)
+    ks: Sequence[int],
+    want_logh: bool = False,
+) -> Tuple[Tuple[jnp.ndarray, ...], GramSums]:
+    """Gram tensors with an independent lambda per SNP.
+
+    Cost per k: a (B,n)x(n,m) GEMM for the shared pairs, a (B,n) elementwise
+    product plus a (B,n)x(n,s) GEMM for the per-SNP column terms.
+    """
+    n, s = shared.shape
+    B = v.shape[1]
+    h = lam[:, None] * ev[None, :] + 1.0  # (B, n)
+    d = 1.0 / h
+    grams = []
+    dk = d
+    for k in range(1, max(ks) + 1):
+        if k in ks:
+            S_k = unpack_sym(dk @ pairs, s)  # (B, s, s)
+            zk = v * dk.T  # (n, B)
+            vS_k = zk.T @ shared  # (B, s)
+            vv_k = jnp.sum(v2 * dk.T, axis=0)  # (B,)
+            grams.append(_assemble(S_k, vS_k, vv_k, B, s))
+        dk = dk * d
+    sums = GramSums(
+        sum_d=jnp.sum(d, axis=1),
+        sum_d2=jnp.sum(d * d, axis=1),
+        sum_logh=jnp.sum(jnp.log(h), axis=1)
+        if want_logh
+        else jnp.zeros((B,), d.dtype),
+    )
+    return tuple(grams), sums
+
+
+def permute_x_before_y(A: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Reorder a Gram built with shared=[W, y], per-SNP=x into [W, x, y] order.
+
+    After this, the alternative design [W, x] occupies the first c+1 indices
+    and the outcome y is last -- the layout :mod:`pygemma_tpu.core.reml`
+    expects.  DE mode (reference lmm/lmm.py:498-532) skips this permutation:
+    there the design is [W, y] and the outcome is the genotype column.
+    """
+    t = A.shape[-1]  # == c + 2
+    perm = list(range(c)) + [t - 1, c]
+    perm = jnp.asarray(perm)
+    return A[..., perm, :][..., :, perm]

@@ -1,0 +1,5 @@
+from . import bimbam, kinship, plink, rawbin, streaming, traw  # noqa: F401
+from .plink import read_bed, write_bed  # noqa: F401
+from .traw import read_traw  # noqa: F401
+from .rawbin import read_rawbin, write_rawbin, read_eigenvalues  # noqa: F401
+from .streaming import SnpBlockStreamer  # noqa: F401

@@ -1,0 +1,83 @@
+"""Sharded execution of the GWAS pipeline over a device mesh.
+
+Replaces the reference's two scale-out seams with in-program SPMD:
+
+* SNP-axis data parallelism: the reference fans SNP column blocks to a
+  ``multiprocessing.Pool`` (lmm/lmm.py:363-401) and concatenates SLURM-array
+  outputs offline (tests/combine_benchmarks.py:17-29).  Here the genotype
+  block is sharded over the ``snp`` mesh axis; every per-SNP quantity in
+  :func:`pygemma_tpu.core.assoc.assoc_block` is elementwise over that axis
+  (the only cross-SNP contraction is over samples, which stays local), so
+  GSPMD runs it collective-free and the association table is gathered once
+  at the end.
+
+* Distributed eigendecomposition + rotation: the reference outsources large
+  eigendecompositions to SLATE and re-ingests files
+  (experiments/large_gwas/run_pygemma.sh:17-28).  Here ``jnp.linalg.eigh``
+  runs under the same jit with K sharded over the sample axis; XLA's
+  QDWH-style eigh is matmul-dominated and partitions over the mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import GwasConfig
+from ..core.assoc import NullFit, assoc_block
+from ..core.eigen import eigendecompose
+
+from .mesh import replicated, result_sharding, snp_sharding
+
+
+def sharded_assoc_fn(mesh: Mesh, cfg: GwasConfig, de: bool = False,
+                     with_null: bool = False):
+    """jit-compiled association step with explicit shardings.
+
+    Inputs: ev (n,), W (n, c), y (n,) replicated; X (n, B) sharded over the
+    ``snp`` axis.  Outputs stay sharded over ``snp``.
+    """
+    rep = replicated(mesh)
+    xsh = snp_sharding(mesh, cfg.snp_axis)
+    rsh = result_sharding(mesh, cfg.snp_axis)
+
+    def step(ev, W, y, X, null_arr=None):
+        null = (
+            NullFit(null_arr[0], null_arr[1], null_arr[2])
+            if null_arr is not None
+            else None
+        )
+        res = assoc_block(ev, W, y, X, cfg, null=null, de=de)
+        return tuple(r for r in res if r is not None)
+
+    in_shardings = (rep, rep, rep, xsh) + ((rep,) if with_null else ())
+    return jax.jit(
+        step,
+        in_shardings=in_shardings,
+        out_shardings=rsh,
+    )
+
+
+def sharded_rotate_fn(mesh: Mesh, cfg: GwasConfig):
+    """U' X with U replicated and X/output sharded over the snp axis."""
+    rep = replicated(mesh)
+    xsh = snp_sharding(mesh, cfg.snp_axis)
+
+    def rot(U, X):
+        return U.T @ X
+
+    return jax.jit(rot, in_shardings=(rep, xsh), out_shardings=xsh)
+
+
+def sharded_eigh_fn(mesh: Mesh, cfg: GwasConfig):
+    """eigh with K sharded over the sample axis; (ev, U) come out replicated
+    so the rotation can run SNP-parallel against a local U."""
+    ksh = NamedSharding(mesh, P(cfg.sample_axis, None))
+    rep = replicated(mesh)
+    return jax.jit(
+        eigendecompose, in_shardings=(ksh,), out_shardings=(rep, rep)
+    )

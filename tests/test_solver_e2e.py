@@ -1,0 +1,159 @@
+"""Lambda-solver and end-to-end driver tests vs the float64 dense oracle.
+
+The golden comparison replaces the reference's GEMMA-binary cross-check
+(tests/gemma_utils.py:17-56) with an in-repo oracle that reproduces the
+reference algorithm (brentq+Newton, argmax root selection) exactly.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import oracle
+from pygemma_tpu import GwasConfig, pygemma
+from pygemma_tpu.core.grams import pair_products
+from pygemma_tpu.core.solver import LambdaProblem, solve_lambda
+
+
+@pytest.fixture(scope="module")
+def data():
+    y, G, W, K = oracle.simulate(n=200, p=24, c=3, seed=11)
+    ev, U = np.linalg.eigh(K)
+    ev = np.maximum(ev, 0.0)
+    return ev, U.T @ W, U.T @ y, U.T @ G
+
+
+CFG64 = GwasConfig(dtype="float64", snp_block=32)
+
+
+@pytest.mark.parametrize("restricted", [True, False])
+def test_lambda_matches_oracle(data, restricted):
+    ev, W, y, X = data
+    n, c = W.shape
+    shared = jnp.asarray(np.c_[W, y])
+    pairs = pair_products(shared)
+    v = jnp.asarray(X)
+    prob = LambdaProblem(jnp.asarray(ev), shared, pairs, v, v * v, n, c + 1,
+                         True, restricted)
+    lam_star, _ = solve_lambda(prob, CFG64)
+    for g in range(X.shape[1]):
+        V = np.c_[W, X[:, g]]
+        ref = oracle.calc_lambda(ev, y, V, restricted=restricted)
+        got = float(lam_star[g])
+        if ref in (1e-5, 1e5) or got in (1e-5, 1e5):
+            # endpoint selections must agree exactly
+            np.testing.assert_allclose(got, ref, rtol=1e-6)
+        else:
+            np.testing.assert_allclose(got, ref, rtol=1e-3)
+
+
+def test_lambda_grid_matches_oracle(data):
+    ev, W, y, X = data
+    n, c = W.shape
+    shared = jnp.asarray(np.c_[W, y])
+    pairs = pair_products(shared)
+    v = jnp.asarray(X)
+    prob = LambdaProblem(jnp.asarray(ev), shared, pairs, v, v * v, n, c + 1,
+                         True, True)
+    lam_star, _ = solve_lambda(prob, CFG64.replace(grid=True))
+    for g in range(X.shape[1]):
+        ref = oracle.calc_lambda(ev, y, np.c_[W, X[:, g]], grid=True)
+        np.testing.assert_allclose(float(lam_star[g]), ref, rtol=1e-12)
+
+
+def test_e2e_wald_matches_oracle_float64():
+    y, G, W, K = oracle.simulate(n=200, p=24, c=3, seed=23)
+    df = pygemma(y, G, W, K, config=CFG64)
+    ev, U = np.linalg.eigh(K)
+    ev = np.maximum(ev, 0.0)
+    ref = oracle.assoc_scan(ev, U.T @ W, U.T @ y, U.T @ G)
+    # lambda roots agree to the Newton tolerance band; downstream statistics
+    # inherit only a weak sensitivity to lambda near the optimum.
+    np.testing.assert_allclose(df["lambda"], ref["lambda"], rtol=2e-3)
+    np.testing.assert_allclose(df["beta"], ref["beta"], rtol=1e-3, atol=1e-10)
+    np.testing.assert_allclose(df["se_beta"], ref["se_beta"], rtol=1e-3)
+    np.testing.assert_allclose(df["tau"], ref["tau"], rtol=1e-3)
+    np.testing.assert_allclose(df["p_wald"], ref["p_wald"], rtol=2e-3)
+
+
+def test_e2e_float32_close_to_oracle():
+    y, G, W, K = oracle.simulate(n=200, p=24, c=3, seed=31)
+    df = pygemma(y, G, W, K, config=GwasConfig(dtype="float32", snp_block=32))
+    ev, U = np.linalg.eigh(K)
+    ev = np.maximum(ev, 0.0)
+    ref = oracle.assoc_scan(ev, U.T @ W, U.T @ y, U.T @ G)
+    np.testing.assert_allclose(df["beta"], ref["beta"], rtol=5e-3, atol=1e-6)
+    np.testing.assert_allclose(df["se_beta"], ref["se_beta"], rtol=5e-3)
+    # p-values on -log10 scale within 2%
+    lp = -np.log10(np.maximum(df["p_wald"], 1e-300))
+    lpr = -np.log10(np.maximum(ref["p_wald"], 1e-300))
+    np.testing.assert_allclose(lp, lpr, rtol=2e-2, atol=2e-2)
+
+
+def test_e2e_lrt_score():
+    y, G, W, K = oracle.simulate(n=150, p=12, c=2, seed=5)
+    df = pygemma(y, G, W, K, tests=("wald", "lrt", "score"), config=CFG64)
+    ev, U = np.linalg.eigh(K)
+    ev = np.maximum(ev, 0.0)
+    ref = oracle.assoc_scan(ev, U.T @ W, U.T @ y, U.T @ G,
+                            tests=("wald", "lrt", "score"))
+    np.testing.assert_allclose(df["p_wald"], ref["p_wald"], rtol=1e-3)
+    np.testing.assert_allclose(df["p_lrt"], ref["p_lrt"], rtol=1e-3, atol=1e-9)
+    np.testing.assert_allclose(df["p_score"], ref["p_score"], rtol=1e-3)
+
+
+def test_e2e_eigen_false_precomputed():
+    """Reference eigen=False path: rotated inputs + eigenvalue vector
+    (experiments/large_gwas/run_pygemma.py:57-65)."""
+    y, G, W, K = oracle.simulate(n=150, p=12, c=2, seed=9)
+    ev, U = np.linalg.eigh(K)
+    ev = np.maximum(ev, 0.0)
+    df_direct = pygemma(y, G, W, K, config=CFG64)
+    df_pre = pygemma(U.T @ y, U.T @ G, U.T @ W, ev, eigen=False, config=CFG64)
+    np.testing.assert_allclose(df_pre["p_wald"], df_direct["p_wald"],
+                               rtol=1e-8)
+
+
+def test_e2e_de_mode():
+    """DE mode swaps outcome and predictor (lmm/lmm.py:498-532)."""
+    y, G, W, K = oracle.simulate(n=120, p=6, c=2, seed=13)
+    df = pygemma(y, G, W, K, de=True, config=CFG64)
+    ev, U = np.linalg.eigh(K)
+    ev = np.maximum(ev, 0.0)
+    Wr, yr, Xr = U.T @ W, U.T @ y, U.T @ G
+    # oracle for DE: per SNP, outcome x_g, design [W, y]
+    n, c = W.shape
+    for g in range(G.shape[1]):
+        xg = Xr[:, g]
+        V = np.c_[Wr, yr]
+        lam = oracle.calc_lambda(ev, xg, V, restricted=True)
+        Pc = oracle.proj(ev, Wr, lam)
+        Px = oracle.proj(ev, V, lam)
+        yPy = max(yr @ Pc @ yr, oracle.MIN_VAL)
+        beta = (yr @ Pc @ xg) / yPy
+        xPvx = max(xg @ Px @ xg, oracle.MIN_VAL)
+        se = np.sqrt(xPvx) / (np.sqrt(yPy) * np.sqrt(n - c - 1))
+        np.testing.assert_allclose(df["beta"][g], beta, rtol=1e-3)
+        np.testing.assert_allclose(df["se_beta"][g], se, rtol=1e-3)
+
+
+def test_multi_phenotype_and_snp_names():
+    y, G, W, K = oracle.simulate(n=100, p=8, c=2, seed=17)
+    Y2 = np.c_[y, y[::-1]]
+    names = [f"rs{i}" for i in range(G.shape[1])]
+    df = pygemma(Y2, G, W, K, snps=names, config=CFG64)
+    assert len(df) == 2 * G.shape[1]
+    assert set(df["pheno"]) == {0, 1}
+    assert list(df["SNPs"][: G.shape[1]]) == names
+
+
+def test_nan_containment():
+    """A constant (zero-variance) SNP must yield a NaN row, not an exception
+    (reference lmm/lmm.py:484-493)."""
+    y, G, W, K = oracle.simulate(n=100, p=8, c=2, seed=19)
+    G = G.copy()
+    G[:, 3] = 0.0
+    df = pygemma(y, G, W, K, config=CFG64)
+    assert not np.isfinite(df["p_wald"][3]) or np.isnan(df["beta"][3])
+    good = [i for i in range(8) if i != 3]
+    assert np.isfinite(df["p_wald"][good]).all()
