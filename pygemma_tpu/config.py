@@ -36,15 +36,21 @@ class GwasConfig:
     dtype: str = "float32"
     #: clamp for denominators / quadratic forms (pygemma_model.pyx:39)
     min_val: float = MIN_VAL
+    #: "auto" | "device" | "host" -- where the kinship eigh runs.  "auto"
+    #: falls back to host LAPACK when XLA's QDWH-eigh scratch (~30 n^2
+    #: floats) cannot fit the available device HBM.
+    eigh_backend: str = "auto"
 
     # --- lambda optimizer ---------------------------------------------------
     #: decade-bracket endpoints: lambda in [10**low, 10**high]
     lambda_pow_low: float = LAMBDA_POW_LOW
     lambda_pow_high: float = LAMBDA_POW_HIGH
-    #: number of masked bisection iterations per bracketed root
-    bisect_iters: int = 18
+    #: number of masked bisection iterations per bracketed root.  12 shrinks
+    #: a decade bracket to ~0.2% width -- tighter than the reference's
+    #: brentq rtol=0.1 starting point for Newton (pyx:179)
+    bisect_iters: int = 12
     #: number of masked safeguarded-Newton iterations per root
-    newton_iters: int = 12
+    newton_iters: int = 10
     #: Newton relative-step convergence tolerance (pygemma_model.pyx:1411)
     newton_rtol: float = 1e-5
     #: maximum number of sign-change brackets refined per SNP.  The reference
@@ -55,6 +61,9 @@ class GwasConfig:
     #: use the pure grid search instead of bracket+Newton
     #: (reference grid=True path, pygemma_model.pyx:99-132)
     grid: bool = False
+    #: Pallas fused Gram kernel for per-SNP-lambda evaluations.
+    #: None = auto (on for float32 on an accelerator backend, off on CPU).
+    use_fused_kernel: Optional[bool] = None
 
     # --- batching / sharding ------------------------------------------------
     #: SNPs per device batch (static shape inside jit); the driver pads the

@@ -27,6 +27,13 @@ from .grams import (
 from .solver import LambdaProblem, solve_lambda
 
 
+def _use_fused(cfg: GwasConfig, dtype) -> bool:
+    """Resolve the fused-kernel switch at trace time."""
+    if cfg.use_fused_kernel is not None:
+        return cfg.use_fused_kernel
+    return jax.default_backend() != "cpu" and dtype == jnp.float32
+
+
 class NullFit(NamedTuple):
     """Null-model (no SNP) quantities shared by a whole phenotype's scan."""
 
@@ -100,11 +107,12 @@ def assoc_block(
     shared = jnp.concatenate([W, y[:, None]], axis=1)  # (n, c+1): [W, y]
     pairs = pair_products(shared)
     X2 = X * X
+    XT = X.T if _use_fused(cfg, dtype) else None
 
     # Lambda optimization with the full design.  Standard: design [W, x]
     # (permuted Gram order [W, x, y]); DE: design [W, y], outcome x.
     prob = LambdaProblem(
-        ev, shared, pairs, X, X2, n, c + 1, not de, True
+        ev, shared, pairs, X, X2, n, c + 1, not de, True, XT
     )
     lam_star, _ = solve_lambda(prob, cfg)
 
@@ -134,7 +142,7 @@ def assoc_block(
     if "lrt" in cfg.tests:
         # GEMMA -lmm 2: ML lambda per SNP, D = 2(l1 - l0), chi^2(1).
         prob_ml = LambdaProblem(
-            ev, shared, pairs, X, X2, n, c + 1, not de, False
+            ev, shared, pairs, X, X2, n, c + 1, not de, False, XT
         )
         lam_ml, logl_H1 = solve_lambda(prob_ml, cfg)
         assert null is not None, "LRT requires a null-model fit"

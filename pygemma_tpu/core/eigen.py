@@ -40,3 +40,71 @@ def rotate(U: jnp.ndarray, M: jnp.ndarray) -> jnp.ndarray:
 def loading_transform(Z: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
     """Random-effect loading transform K <- Z K Z' (lmm/lmm.py:124-125)."""
     return Z @ K @ Z.T
+
+
+def host_eigendecompose(K, dtype=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """LAPACK eigh on the host CPU with the same eigenvalue clamp.
+
+    Used when a single accelerator cannot hold the O(n^2) QDWH-eigh temps
+    (XLA's spectral divide-and-conquer needs ~25x n^2 floats of HBM scratch;
+    a lone v5e OOMs near n=10k).  Matches the reference's own CPU
+    ``scipy.linalg.eigh`` path (lmm/lmm.py:151).
+    """
+    import numpy as np
+
+    Kh = np.asarray(K)
+    try:  # torch's LAPACK is substantially faster than scipy's here
+        import torch
+
+        evt, Ut = torch.linalg.eigh(torch.from_numpy(np.ascontiguousarray(Kh)))
+        ev, U = evt.numpy(), Ut.numpy()
+    except Exception:
+        import scipy.linalg
+
+        ev, U = scipy.linalg.eigh(Kh)
+    ev = np.maximum(ev, 0.0)
+    if dtype is not None:
+        ev = ev.astype(dtype)
+        U = U.astype(dtype)
+    # Returned as host (NumPy) arrays deliberately: downstream jnp ops move
+    # them host->device once; round-tripping through the accelerator here
+    # would pay a device->host pull on interconnects where that is slow.
+    return ev, U
+
+
+def _device_hbm_bytes() -> int:
+    try:
+        stats = jax.devices()[0].memory_stats()
+        return int(stats.get("bytes_limit", 0))
+    except Exception:
+        return 0
+
+
+def auto_eigendecompose(K, backend: str = "auto", dtype=None):
+    """Pick device vs host eigh.
+
+    "auto": device when the QDWH scratch estimate (~30 n^2 floats) fits in
+    one device's HBM or when multiple devices are available to shard it;
+    host LAPACK otherwise.
+    """
+    if backend == "host":
+        return host_eigendecompose(K, dtype)
+    if backend == "device":
+        return eigendecompose(jnp.asarray(K))
+    n = K.shape[0]
+    itemsize = 4
+    need = 30 * n * n * itemsize
+    hbm = _device_hbm_bytes()
+    n_dev = len(jax.devices())
+    if jax.devices()[0].platform == "cpu":
+        # virtual-CPU test meshes: jnp eigh is fine and shardable
+        return eigendecompose(jnp.asarray(K))
+    if hbm and need > 0.8 * hbm * max(1, n_dev):
+        return host_eigendecompose(K, dtype)
+    if hbm == 0 and n > 6000:
+        return host_eigendecompose(K, dtype)
+    if n <= 4096:
+        # small problems: LAPACK runtime is trivial while the accelerator
+        # QDWH-eigh pays a large one-time compile -- host wins outright
+        return host_eigendecompose(K, dtype)
+    return eigendecompose(jnp.asarray(K))

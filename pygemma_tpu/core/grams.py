@@ -128,6 +128,62 @@ def grams_shared_lambda(
     return tuple(grams), sums
 
 
+def grams_shared_multi(
+    lams: jnp.ndarray,  # (G,) grid of lambdas shared across the SNP block
+    ev: jnp.ndarray,  # (n,)
+    shared: jnp.ndarray,  # (n, s)
+    pairs: jnp.ndarray,  # (n, m)
+    v: jnp.ndarray,  # (n, B)
+    v2: jnp.ndarray,  # (n, B)
+    ks: Sequence[int],
+    want_logh: bool = False,
+) -> Tuple[Tuple[jnp.ndarray, ...], GramSums]:
+    """Gram tensors for a whole lambda *grid* at once: (G, B, s+1, s+1).
+
+    The decade sweep (reference pyx:154-174 endpoint scan) evaluated point by
+    point reads the genotype block once per (lambda, k); batching every
+    (lambda, k) weight column into one wide GEMM reads it exactly once.
+    """
+    n, s = shared.shape
+    B = v.shape[1]
+    G = lams.shape[0]
+    Kn = len(ks)
+    h = lams[:, None] * ev[None, :] + 1.0  # (G, n)
+    d = 1.0 / h
+    dks = []
+    dk = d
+    for k in range(1, max(ks) + 1):
+        if k in ks:
+            dks.append(dk)
+        dk = dk * d
+    D = jnp.stack(dks, axis=1)  # (G, K, n)
+
+    S = jnp.einsum("gkn,nm->gkm", D, pairs)  # (G, K, m)
+    # (n, G*K*s) weighted copies of the shared columns -> single GEMM with v
+    C = (D[:, :, :, None] * shared[None, None, :, :]).transpose(2, 0, 1, 3)
+    C = C.reshape(n, G * Kn * s)
+    vS = (v.T @ C).reshape(B, G, Kn, s)  # (B, G, K, s)
+    vv = (v2.T @ D.reshape(G * Kn, n).T).reshape(B, G, Kn)
+
+    grams = []
+    for ki in range(Kn):
+        S_k = unpack_sym(S[:, ki], s)  # (G, s, s)
+        A = jnp.zeros((G, B, s + 1, s + 1), S_k.dtype)
+        A = A.at[:, :, :s, :s].set(S_k[:, None])
+        A = A.at[:, :, :s, s].set(vS[:, :, ki].transpose(1, 0, 2))
+        A = A.at[:, :, s, :s].set(vS[:, :, ki].transpose(1, 0, 2))
+        A = A.at[:, :, s, s].set(vv[:, :, ki].T)
+        grams.append(A)
+    sums = GramSums(
+        sum_d=jnp.sum(d, axis=1)[:, None],  # (G, 1) broadcasts over B
+        sum_d2=jnp.sum(d * d, axis=1)[:, None],
+        sum_logh=jnp.sum(jnp.log(h), axis=1)[:, None]
+        if want_logh
+        else jnp.zeros((G, 1), d.dtype),
+    )
+    return tuple(grams), sums
+
+
 def grams_per_snp_lambda(
     lam: jnp.ndarray,  # (B,)
     ev: jnp.ndarray,  # (n,)
@@ -164,6 +220,36 @@ def grams_per_snp_lambda(
         if want_logh
         else jnp.zeros((B,), d.dtype),
     )
+    return tuple(grams), sums
+
+
+def grams_per_snp_lambda_fused(
+    lam: jnp.ndarray,  # (B,)
+    ev: jnp.ndarray,  # (n,)
+    shared: jnp.ndarray,  # (n, s)
+    pairs: jnp.ndarray,  # (n, m)
+    vT: jnp.ndarray,  # (B, n) transposed per-SNP columns
+    ks: Sequence[int],
+    want_logh: bool = False,
+) -> Tuple[Tuple[jnp.ndarray, ...], GramSums]:
+    """Pallas-fused variant of :func:`grams_per_snp_lambda` (TPU only).
+
+    Same numerical contract; the (B, n) weight matrices never touch HBM
+    (see pygemma_tpu/ops/gram_kernel.py).
+    """
+    from ..ops.gram_kernel import fused_grams
+
+    n, s = shared.shape
+    B = vT.shape[0]
+    kmax = max(ks)
+    S, vS, vv, sum_d, sum_d2, sum_logh = fused_grams(
+        lam, ev, pairs, shared, vT, kmax, want_logh
+    )
+    grams = []
+    for k in ks:
+        S_k = unpack_sym(S[:, k - 1], s)
+        grams.append(_assemble(S_k, vS[:, k - 1], vv[:, k - 1], B, s))
+    sums = GramSums(sum_d=sum_d, sum_d2=sum_d2, sum_logh=sum_logh)
     return tuple(grams), sums
 
 

@@ -46,12 +46,66 @@ from ..config import MIN_VAL
 from .grams import GramSums
 
 
+#: designs wider than this fall back to XLA's LAPACK-style kernels
+_UNROLL_Q = 32
+
+
+def small_cholesky(G: jnp.ndarray) -> jnp.ndarray:
+    """Batched Cholesky of tiny PD matrices, unrolled over the static size q.
+
+    XLA's TPU Cholesky/TriangularSolve custom calls are built for large
+    matrices and dominate the runtime at (B, q, q) with q <= ~30 (the GWAS
+    regime: q = covariates + 2).  Cholesky-Crout unrolled at trace time turns
+    the whole factorization into q^2 fused (B,)-vector VPU ops.
+    """
+    q = G.shape[-1]
+    if q > _UNROLL_Q:
+        return jnp.linalg.cholesky(G)
+    col = []  # columns of L, each (..., q)
+    for j in range(q):
+        s = G[..., j:, j]  # (..., q-j) column below/at diagonal
+        for k in range(j):
+            s = s - col[k][..., j:] * col[k][..., j:j + 1]
+        # pivot clamp: a rank-deficient design yields huge-SE finite output
+        # instead of NaN, matching the reference's MIN_VAL pivot guard
+        # (pygemma_model.pyx:39, :993)
+        pivot = jnp.maximum(s[..., :1], MIN_VAL)
+        diag = jnp.sqrt(pivot)
+        below = s[..., 1:] / diag
+        cj = jnp.concatenate(
+            [jnp.zeros(G.shape[:-2] + (j,), G.dtype), diag, below], axis=-1
+        )
+        col.append(cj)
+    return jnp.stack(col, axis=-1)  # (..., q, q) lower triangular
+
+
 def chol_solve(L: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
-    """Batched solve of (L L') x = rhs given lower-triangular L (..., q, q)."""
-    z = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
-    return jax.scipy.linalg.solve_triangular(
-        jnp.swapaxes(L, -1, -2), z, lower=False
-    )
+    """Batched solve of (L L') x = rhs given lower-triangular L (..., q, q).
+
+    Unrolled forward/back substitution for tiny q (see
+    :func:`small_cholesky`); falls back to XLA triangular solves otherwise.
+    """
+    q = L.shape[-1]
+    if q > _UNROLL_Q:
+        z = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+        return jax.scipy.linalg.solve_triangular(
+            jnp.swapaxes(L, -1, -2), z, lower=False
+        )
+    # forward: L z = rhs
+    z = []
+    for i in range(q):
+        s = rhs[..., i, :]
+        for j in range(i):
+            s = s - L[..., i, j:j + 1] * z[j]
+        z.append(s / L[..., i, i:i + 1])
+    # backward: L' x = z
+    x = [None] * q
+    for i in reversed(range(q)):
+        s = z[i]
+        for j in range(i + 1, q):
+            s = s - L[..., j, i:i + 1] * x[j]
+        x[i] = s / L[..., i, i:i + 1]
+    return jnp.stack(x, axis=-2)  # (..., q, k)
 
 
 class RemlScalars(NamedTuple):
@@ -83,7 +137,7 @@ def reml_scalars(
     G1 = A1[..., :q, :q]
     u1 = A1[..., :q, -1]
     s1 = A1[..., -1, -1]
-    L = jnp.linalg.cholesky(G1)
+    L = small_cholesky(G1)
     Mu1 = chol_solve(L, u1[..., None])[..., 0]
     yPy = s1 - jnp.sum(u1 * Mu1, axis=-1)
     logdet_G1 = 2.0 * jnp.sum(
@@ -133,7 +187,7 @@ def predictor_terms(A1: jnp.ndarray, c: int):
     Gw = A1[..., :c, :c]
     ux = A1[..., :c, c]
     uy = A1[..., :c, c + 1]
-    L = jnp.linalg.cholesky(Gw)
+    L = small_cholesky(Gw)
     Mux = chol_solve(L, ux[..., None])[..., 0]
     Muy = chol_solve(L, uy[..., None])[..., 0]
     xPx = A1[..., c, c] - jnp.sum(ux * Mux, axis=-1)

@@ -22,14 +22,20 @@ masked updates over the whole SNP block:
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ..config import GwasConfig
 from . import reml
-from .grams import grams_per_snp_lambda, grams_shared_lambda, permute_x_before_y
+from .grams import (
+    grams_per_snp_lambda,
+    grams_per_snp_lambda_fused,
+    grams_shared_lambda,
+    grams_shared_multi,
+    permute_x_before_y,
+)
 
 
 class LambdaProblem(NamedTuple):
@@ -40,7 +46,8 @@ class LambdaProblem(NamedTuple):
     the projection removes; with ``permute=True`` the design is
     [shared[:, :q-1], v] (standard GWAS: shared=[W, y], v=x, design=[W, x]);
     with ``permute=False`` it is shared[:, :q] (null model / DE mode).
-    ``restricted`` selects REML vs ML.
+    ``restricted`` selects REML vs ML.  ``vT`` (B, n), when not None, enables
+    the Pallas fused Gram kernel for per-SNP-lambda evaluations (TPU only).
     """
 
     ev: jnp.ndarray
@@ -52,29 +59,42 @@ class LambdaProblem(NamedTuple):
     q: int
     permute: bool
     restricted: bool
+    vT: Optional[jnp.ndarray] = None
 
 
 _KS = {"d1": (1, 2), "newton": (1, 2, 3), "lik": (1,)}
 
 
-def evaluate(problem: LambdaProblem, lam, need: str, shared_lam: bool):
+def evaluate(problem: LambdaProblem, lam, need: str, shared_lam):
     """Evaluate d1 / (d1, d2) / loglik at ``lam`` for every SNP in the block.
 
-    ``shared_lam=True`` takes a scalar lambda (GEMM fast path); otherwise
-    ``lam`` is (B,).
+    ``shared_lam=True`` takes a scalar lambda (GEMM fast path);
+    ``shared_lam="multi"`` takes a (G,) lambda grid and returns (G, B)
+    outputs from one wide GEMM; otherwise ``lam`` is (B,).
     """
     ks = _KS[need]
-    build = grams_shared_lambda if shared_lam else grams_per_snp_lambda
-    grams, sums = build(
-        lam,
-        problem.ev,
-        problem.shared,
-        problem.pairs,
-        problem.v,
-        problem.v2,
-        ks,
-        want_logh=(need == "lik"),
-    )
+    want_logh = need == "lik"
+    if shared_lam == "multi":
+        grams, sums = grams_shared_multi(
+            lam, problem.ev, problem.shared, problem.pairs, problem.v,
+            problem.v2, ks, want_logh=want_logh,
+        )
+        lam = lam[:, None]  # broadcast (G, 1) against (G, B) scalars
+    elif shared_lam:
+        grams, sums = grams_shared_lambda(
+            lam, problem.ev, problem.shared, problem.pairs, problem.v,
+            problem.v2, ks, want_logh=want_logh,
+        )
+    elif problem.vT is not None:
+        grams, sums = grams_per_snp_lambda_fused(
+            lam, problem.ev, problem.shared, problem.pairs, problem.vT,
+            ks, want_logh=want_logh,
+        )
+    else:
+        grams, sums = grams_per_snp_lambda(
+            lam, problem.ev, problem.shared, problem.pairs, problem.v,
+            problem.v2, ks, want_logh=want_logh,
+        )
     if problem.permute:
         c = problem.q - 1
         grams = tuple(permute_x_before_y(A, c) for A in grams)
@@ -125,30 +145,23 @@ def solve_lambda(problem: LambdaProblem, cfg: GwasConfig):
     ep_low = jnp.asarray(decades[0], dtype)
     ep_high = jnp.asarray(decades[-1], dtype)
 
-    def lik_shared(lam_scalar):
-        return jnp.broadcast_to(
-            evaluate(problem, jnp.asarray(lam_scalar, dtype), "lik", True), (B,)
-        )
-
     if cfg.grid:
         # Reference grid path (pyx:99-132): endpoints first (low endpoint wins
         # ties), then each decade point with strict improvement.
-        cand_lams = [decades[0], decades[-1]] + decades[:-1]
-        liks = jnp.stack([lik_shared(l) for l in cand_lams], axis=1)
+        cand = [decades[0], decades[-1]] + decades[:-1]
+        liks = evaluate(
+            problem, jnp.asarray(cand, dtype), "lik", "multi"
+        )  # (n_cand, B)
+        liks = jnp.broadcast_to(liks, (len(cand), B)).T
         best = jnp.argmax(liks, axis=1)
-        lam_star = jnp.asarray(cand_lams, dtype)[best]
+        lam_star = jnp.asarray(cand, dtype)[best]
         return lam_star, jnp.take_along_axis(liks, best[:, None], 1)[:, 0]
 
-    # --- stage 1: shared-lambda decade sweep of d1 -------------------------
-    d1_grid = jnp.stack(
-        [
-            jnp.broadcast_to(
-                evaluate(problem, jnp.asarray(l, dtype), "d1", True), (B,)
-            )
-            for l in decades
-        ],
-        axis=1,
-    )  # (B, n_grid)
+    # --- stage 1: one wide-GEMM decade sweep of d1 -------------------------
+    d1_grid = evaluate(
+        problem, jnp.asarray(decades, dtype), "d1", "multi"
+    )  # (n_grid, B)
+    d1_grid = jnp.broadcast_to(d1_grid, (n_grid, B)).T  # (B, n_grid)
     signs = _sign(d1_grid)
     sc = signs[:, :-1] * signs[:, 1:] < 0  # (B, n_grid - 1) sign changes
 
@@ -161,8 +174,12 @@ def solve_lambda(problem: LambdaProblem, cfg: GwasConfig):
     hi0 = jnp.power(jnp.asarray(10.0, dtype), pow_lo + 1.0)
     sign_lo = jnp.take_along_axis(signs, order, axis=1)
 
+    ep_liks = evaluate(
+        problem, jnp.asarray([decades[0], decades[-1]], dtype), "lik", "multi"
+    )  # (2, B)
+    ep_liks = jnp.broadcast_to(ep_liks, (2, B))
     cand_lams = [jnp.broadcast_to(ep_low, (B,)), jnp.broadcast_to(ep_high, (B,))]
-    cand_liks = [lik_shared(decades[0]), lik_shared(decades[-1])]
+    cand_liks = [ep_liks[0], ep_liks[1]]
     cand_valid = [jnp.ones((B,), bool), jnp.ones((B,), bool)]
 
     for r in range(R):

@@ -1,0 +1,1 @@
+from .plot import manhattan_plot, qq_plot  # noqa: F401

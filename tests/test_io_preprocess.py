@@ -1,0 +1,192 @@
+"""IO round-trips, preprocessing, plotting smoke, checkpoint/resume."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pygemma_tpu import preprocess as pp
+from pygemma_tpu.io import bimbam, plink, rawbin, traw
+from pygemma_tpu.io.kinship import kinship_blocked
+from pygemma_tpu.io.streaming import SnpBlockStreamer
+from pygemma_tpu.native import bed_native
+from pygemma_tpu.utils.checkpoint import RunCheckpoint
+
+
+def _dosages(rng, n, p, miss=0.05):
+    X = rng.integers(0, 3, size=(n, p)).astype(np.float32)
+    mask = rng.random((n, p)) < miss
+    X[mask] = np.nan
+    return X
+
+
+def test_bimbam_roundtrip(tmp_path, rng):
+    X = _dosages(rng, 20, 7)
+    path = str(tmp_path / "geno.txt")
+    names = [f"rs{i}" for i in range(7)]
+    bimbam.write_geno(path, X, names)
+    X2, names2 = bimbam.read_geno(path)
+    assert names2 == names
+    np.testing.assert_allclose(X2, X, rtol=1e-5, equal_nan=True)
+
+
+def test_bimbam_pheno_matrix_roundtrip(tmp_path, rng):
+    y = rng.normal(size=15).astype(np.float32)
+    y[3] = np.nan
+    bimbam.write_pheno(str(tmp_path / "p.txt"), y)
+    y2 = bimbam.read_pheno(str(tmp_path / "p.txt"))
+    np.testing.assert_allclose(y2, y, rtol=1e-6, equal_nan=True)
+    M = rng.normal(size=(10, 3)).astype(np.float32)
+    bimbam.write_matrix(str(tmp_path / "m.txt"), M)
+    np.testing.assert_allclose(bimbam.read_matrix(str(tmp_path / "m.txt")),
+                               M, rtol=1e-6)
+
+
+def test_plink_bed_roundtrip(tmp_path, rng):
+    n, p = 13, 9  # deliberately not multiples of 4
+    X = rng.integers(0, 3, size=(n, p)).astype(np.float32)
+    X[2, 1] = np.nan
+    prefix = str(tmp_path / "test")
+    plink.write_bed(prefix, X)
+    d = plink.read_bed(prefix, use_native=False)
+    np.testing.assert_array_equal(np.isnan(d.X), np.isnan(X))
+    np.testing.assert_allclose(d.X, X, equal_nan=True)
+    assert len(d.snp_ids) == p and len(d.sample_ids) == n
+    # subset selection
+    d2 = plink.read_bed(prefix, snp_indices=[1, 4, 7], use_native=False)
+    np.testing.assert_allclose(d2.X, X[:, [1, 4, 7]], equal_nan=True)
+
+
+@pytest.mark.skipif(not bed_native.available(),
+                    reason="native toolchain unavailable")
+def test_plink_bed_native_matches_numpy(tmp_path, rng):
+    n, p = 37, 21
+    X = rng.integers(0, 3, size=(n, p)).astype(np.float32)
+    X[5, 2] = np.nan
+    prefix = str(tmp_path / "nat")
+    plink.write_bed(prefix, X)
+    d_np = plink.read_bed(prefix, use_native=False)
+    d_nat = plink.read_bed(prefix, use_native=True)
+    np.testing.assert_allclose(d_nat.X, d_np.X, equal_nan=True)
+
+
+@pytest.mark.skipif(not bed_native.available(),
+                    reason="native toolchain unavailable")
+def test_native_filtered_matrix_stream(tmp_path, rng):
+    M = rng.normal(size=(30, 30)).astype(np.float32)
+    path = str(tmp_path / "mat.txt")
+    np.savetxt(path, M, fmt="%.6f")
+    idx = np.array([2, 7, 11, 29])
+    got = bed_native.read_filtered_matrix(path, idx)
+    np.testing.assert_allclose(got, M[np.ix_(idx, idx)], rtol=1e-5)
+
+
+def test_traw_roundtrip(tmp_path, rng):
+    n, p = 8, 5
+    X = rng.integers(0, 3, size=(n, p)).astype(np.float32)
+    path = str(tmp_path / "g.traw")
+    with open(path, "w") as f:
+        samples = [f"F{i}_I{i}" for i in range(n)]
+        f.write("CHR\tSNP\t(C)M\tPOS\tCOUNTED\tALT\t" + "\t".join(samples) + "\n")
+        for j in range(p):
+            vals = "\t".join(str(v) for v in X[:, j])
+            f.write(f"1\trs{j}\t0\t{j+1}\tA\tT\t{vals}\n")
+    d = traw.read_traw(path)
+    np.testing.assert_allclose(d.X, X)
+    assert d.snp_ids == [f"rs{j}" for j in range(p)]
+
+
+def test_rawbin_roundtrip(tmp_path, rng):
+    M = rng.normal(size=(12, 6)).astype(np.float32)
+    prefix = str(tmp_path / "m")
+    rawbin.write_rawbin(prefix, M)
+    np.testing.assert_allclose(np.asarray(rawbin.read_rawbin(prefix)), M)
+
+
+def test_preprocess(rng):
+    X = _dosages(rng, 50, 10, miss=0.2)
+    Xi = pp.mean_impute(X)
+    assert not np.isnan(Xi).any()
+    col = 3
+    obs = X[:, col][~np.isnan(X[:, col])]
+    np.testing.assert_allclose(Xi[np.isnan(X[:, col]), col], obs.mean(),
+                               rtol=1e-5)
+    Xs = pp.standardize(Xi)
+    np.testing.assert_allclose(Xs.mean(0), 0, atol=1e-5)
+    np.testing.assert_allclose(Xs.std(0), 1, atol=1e-5)
+    Xi[:, 5] = 2.0
+    Xk, _, keep = pp.drop_zero_variance(Xi)
+    assert not keep[5] and Xk.shape[1] == 9
+    y = rng.normal(size=50) ** 3
+    yq = pp.quantile_normalize(y)
+    assert abs(yq.mean()) < 0.05 and 0.8 < yq.std() < 1.1
+    pcs = pp.pca_covariates(Xk, n_pcs=3)
+    assert pcs.shape == (50, 3)
+    pv = rng.uniform(size=1000)
+    lam = pp.genomic_control_lambda(pv)
+    assert 0.8 < lam < 1.2
+
+
+def test_kinship_blocked_matches_direct(rng):
+    X = rng.normal(size=(40, 30)).astype(np.float32)
+    K1 = kinship_blocked(X, block=7)
+    Xc = X - X.mean(0)
+    np.testing.assert_allclose(K1, Xc @ Xc.T / 30, rtol=1e-4, atol=1e-5)
+
+
+def test_streamer(rng):
+    X = rng.normal(size=(16, 50)).astype(np.float32)
+    blocks = list(SnpBlockStreamer(X, block=16))
+    assert [b[0] for b in blocks] == [0, 16, 32, 48]
+    assert all(np.asarray(b[2]).shape == (16, 16) for b in blocks)
+    last = np.asarray(blocks[-1][2])
+    np.testing.assert_allclose(last[:, :2], X[:, 48:])
+    np.testing.assert_allclose(last[:, 2:], 0.0)
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    ck = RunCheckpoint(str(tmp_path / "run"))
+    ev = rng.normal(size=10)
+    U = rng.normal(size=(10, 10))
+    ck.save_eigen(ev, U, key="abc")
+    assert ck.load_eigen("other") is None
+    ev2, U2 = ck.load_eigen("abc")
+    np.testing.assert_allclose(ev2, ev)
+    cols = {"beta": rng.normal(size=5), "F_wald": rng.normal(size=5)}
+    ck.save_block(0, cols)
+    assert ck.has_block(0) and not ck.has_block(5)
+    got = ck.load_block(0)
+    np.testing.assert_allclose(got["beta"], cols["beta"])
+    assert ck.completed_blocks() == [0]
+
+
+def test_pygemma_resume(tmp_path):
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    import oracle
+
+    from pygemma_tpu import GwasConfig, pygemma
+
+    y, G, W, K = oracle.simulate(n=80, p=12, c=2, seed=3)
+    cfg = GwasConfig(dtype="float64", snp_block=4)
+    rd = str(tmp_path / "ck")
+    df1 = pygemma(y, G, W, K, config=cfg, run_dir=rd)
+    # resume: all blocks cached; must reproduce identically
+    df2 = pygemma(y, G, W, K, config=cfg, run_dir=rd)
+    np.testing.assert_allclose(df1["p_wald"], df2["p_wald"], rtol=0)
+
+
+def test_plotting_smoke(tmp_path, rng):
+    import pandas as pd
+
+    from pygemma_tpu.plotting import manhattan_plot, qq_plot
+
+    df = pd.DataFrame({
+        "p_wald": rng.uniform(size=200),
+        "chrom": np.repeat([1, 2], 100),
+        "pos": np.tile(np.arange(100), 2),
+    })
+    manhattan_plot(df, save_path=str(tmp_path / "mh.png"))
+    qq_plot(df["p_wald"], save_path=str(tmp_path / "qq.png"))
+    assert os.path.exists(tmp_path / "mh.png")
+    assert os.path.exists(tmp_path / "qq.png")

@@ -1,0 +1,50 @@
+"""Fused Pallas Gram kernel vs the XLA reference path (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pygemma_tpu.core.grams import (
+    grams_per_snp_lambda,
+    grams_per_snp_lambda_fused,
+    pair_products,
+)
+
+
+@pytest.mark.parametrize("n,B,c", [(300, 40, 3), (70, 10, 1), (515, 130, 6)])
+@pytest.mark.parametrize("want_logh", [False, True])
+def test_fused_matches_xla(n, B, c, want_logh):
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(n * 1000 + B)  # order-independent data
+    ev = np.abs(rng.normal(size=n)).astype(np.float32)
+    W = rng.normal(size=(n, c)).astype(np.float32)
+    y = rng.normal(size=n).astype(np.float32)
+    X = rng.normal(size=(n, B)).astype(np.float32)
+    lam = np.power(10.0, rng.uniform(-4, 4, size=B)).astype(np.float32)
+
+    shared = jnp.asarray(np.c_[W, y])
+    pairs = pair_products(shared)
+    v = jnp.asarray(X)
+    grams_ref, sums_ref = grams_per_snp_lambda(
+        jnp.asarray(lam), jnp.asarray(ev), shared, pairs, v, v * v,
+        (1, 2, 3), want_logh=want_logh,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        grams_f, sums_f = grams_per_snp_lambda_fused(
+            jnp.asarray(lam), jnp.asarray(ev), shared, pairs,
+            jnp.asarray(X.T), (1, 2, 3), want_logh=want_logh,
+        )
+    # fp32 with different summation order (tiled vs single reduction);
+    # tolerance covers reassociation noise only.
+    for k in range(3):
+        np.testing.assert_allclose(
+            np.asarray(grams_f[k]), np.asarray(grams_ref[k]),
+            rtol=2e-4, atol=1e-5,
+        )
+    np.testing.assert_allclose(sums_f.sum_d, sums_ref.sum_d, rtol=1e-5)
+    np.testing.assert_allclose(sums_f.sum_d2, sums_ref.sum_d2, rtol=1e-5)
+    if want_logh:
+        np.testing.assert_allclose(sums_f.sum_logh, sums_ref.sum_logh,
+                                   rtol=1e-5, atol=1e-5)

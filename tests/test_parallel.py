@@ -1,0 +1,91 @@
+"""Multi-device sharding tests on the virtual 8-CPU mesh.
+
+The reference has no communication layer to test (multi-node = SLURM file
+fan-out, SURVEY.md §2.3); these tests validate the in-program SPMD
+replacements: SNP-sharded association, sample-sharded eigh, sharded rotation.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import oracle
+from pygemma_tpu.config import GwasConfig
+from pygemma_tpu.parallel.dist import (
+    sharded_assoc_fn,
+    sharded_eigh_fn,
+    sharded_rotate_fn,
+)
+from pygemma_tpu.parallel.mesh import make_mesh, snp_sharding
+
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices"
+)
+
+
+@pytest.fixture(scope="module")
+def data():
+    y, G, W, K = oracle.simulate(n=96, p=64, c=2, seed=21)
+    return (y.astype(np.float32), G.astype(np.float32),
+            W.astype(np.float32), K.astype(np.float32))
+
+
+def test_sharded_pipeline_matches_single_device(data):
+    y, G, W, K = data
+    cfg = GwasConfig(snp_block=64)
+    mesh = make_mesh(snp=4, sample=2)
+
+    eigh_fn = sharded_eigh_fn(mesh, cfg)
+    rot_fn = sharded_rotate_fn(mesh, cfg)
+    assoc_fn = sharded_assoc_fn(mesh, cfg)
+    with mesh:
+        ev, U = eigh_fn(jnp.asarray(K))
+        Xr = rot_fn(U, jnp.asarray(G))
+        out = assoc_fn(ev, U.T @ jnp.asarray(W), U.T @ jnp.asarray(y), Xr)
+        jax.block_until_ready(out)
+    beta_sharded = np.asarray(out[0])
+
+    # single-device reference through the same code path
+    from pygemma_tpu.core.assoc import assoc_block
+    from pygemma_tpu.core.eigen import eigendecompose
+
+    ev1, U1 = eigendecompose(jnp.asarray(K))
+    res = assoc_block(ev1, U1.T @ jnp.asarray(W), U1.T @ jnp.asarray(y),
+                      U1.T @ jnp.asarray(G), cfg)
+    np.testing.assert_allclose(beta_sharded, np.asarray(res.beta),
+                               rtol=2e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out[4]), np.asarray(res.F_wald),
+                               rtol=5e-3, atol=1e-4)
+
+
+def test_assoc_output_sharded_over_snp_axis(data):
+    y, G, W, K = data
+    cfg = GwasConfig(snp_block=64)
+    mesh = make_mesh(snp=8, sample=1)
+    assoc_fn = sharded_assoc_fn(mesh, cfg)
+    ev, U = np.linalg.eigh(K)
+    ev = np.maximum(ev, 0).astype(np.float32)
+    with mesh:
+        Xr = jax.device_put(U.T @ G, snp_sharding(mesh))
+        out = assoc_fn(jnp.asarray(ev), jnp.asarray(U.T @ W),
+                       jnp.asarray(U.T @ y), Xr)
+        jax.block_until_ready(out)
+    # outputs stay sharded over the snp axis (no implicit full replication)
+    shard_sizes = {s.data.shape for s in out[0].addressable_shards}
+    assert shard_sizes == {(64 // 8,)}
+
+
+def test_eigh_reconstruction_sharded(data):
+    _, _, _, K = data
+    cfg = GwasConfig()
+    mesh = make_mesh(snp=2, sample=4)
+    eigh_fn = sharded_eigh_fn(mesh, cfg)
+    with mesh:
+        ev, U = eigh_fn(jnp.asarray(K))
+        jax.block_until_ready((ev, U))
+    ev, U = np.asarray(ev), np.asarray(U)
+    # rotation invariants: orthonormal U, K reconstruction
+    np.testing.assert_allclose(U.T @ U, np.eye(K.shape[0]), atol=5e-3)
+    np.testing.assert_allclose(U @ np.diag(ev) @ U.T, K, atol=5e-2)
