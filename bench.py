@@ -81,30 +81,37 @@ def main():
     t_eigh = time.time() - t0
     log(f"eigh ready: {t_eigh:.2f}s")
 
-    cfg = GwasConfig(snp_block=2048)
+    cfg = GwasConfig(snp_block=int(os.environ.get("PYGEMMA_BENCH_BLOCK", 4096)))
     B = cfg.snp_block
 
+    rot = jax.jit(lambda U, X: U.T @ X)
+
     @jax.jit
-    def step(U, ev, W_r, y_r, xb):
-        xr = U.T @ xb
+    def step(ev, W_r, y_r, xr):
         res = assoc_block(ev, W_r, y_r, xr, cfg)
         return res.beta, res.se_beta, res.tau, res.lam, res.F_wald
 
     W_r = U.T @ jnp.asarray(W)
     y_r = U.T @ jnp.asarray(y)
 
-    # warmup / compile; materialize on host too -- the first device->host
-    # pull after compile pays a large one-time warmup on tunneled backends
-    out = step(U, ev, W_r, y_r, G_dev[:, :B])
-    np.asarray(out[0])
-    log("compiled + warmed")
+    def scan_once():
+        Xr = rot(U, G_dev)  # rotation: one full GEMM
+        nfin = 0
+        out = None
+        for s in range(0, p, B):
+            out = step(ev, W_r, y_r, jax.lax.dynamic_slice_in_dim(Xr, s, B, 1))
+            nfin += int(np.isfinite(np.asarray(out[0])).sum())
+        jax.block_until_ready(out)
+        return nfin
+
+    # warmup pass: compiles every shape and absorbs the one-time
+    # first-materialization penalty tunneled backends charge per executable
+    t0 = time.time()
+    nfin = scan_once()
+    log(f"warmup pass (compiles included): {time.time()-t0:.2f}s")
 
     t0 = time.time()
-    nfin = 0
-    for s in range(0, p, B):
-        out = step(U, ev, W_r, y_r, jax.lax.dynamic_slice_in_dim(G_dev, s, B, 1))
-        nfin += int(np.isfinite(np.asarray(out[0])).sum())
-    jax.block_until_ready(out)
+    nfin = scan_once()
     t_scan = time.time() - t0
     tpu_rate = p / t_scan
     log(f"scan: {t_scan:.2f}s -> {tpu_rate:.1f} SNPs/s (finite beta: {nfin}/{p})")
@@ -113,18 +120,18 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from baselines.cpu_pygemma import run_gwas as cpu_run
 
-    ev_h = np.asarray(ev, np.float64)
+    ev_h2 = np.asarray(ev, np.float64)
     W_h = np.asarray(W_r, np.float64)
-    y_h = np.asarray(y_r, np.float64)
-    X_h = np.asarray(U.T @ G_dev[:, :base_snps], np.float64)
+    y_h2 = np.asarray(y_r, np.float64)
+    X_h = (U_h.T @ G[:, :base_snps]).astype(np.float64)
     t0 = time.time()
-    cpu_out = cpu_run(ev_h, W_h, y_h, X_h)
+    cpu_out = cpu_run(ev_h2, W_h, y_h2, X_h)
     t_cpu = time.time() - t0
     cpu_rate = base_snps / t_cpu
     log(f"cpu baseline: {base_snps} SNPs in {t_cpu:.2f}s -> {cpu_rate:.2f} SNPs/s")
 
     # sanity: results agree on the subset
-    tpu_beta = np.asarray(step(U, ev, W_r, y_r, G_dev[:, :B])[0])[:base_snps]
+    tpu_beta = np.asarray(step(ev, W_r, y_r, rot(U, G_dev[:, :B]))[0])[:base_snps]
     rel = np.nanmedian(
         np.abs(tpu_beta - cpu_out["beta"]) / np.maximum(np.abs(cpu_out["beta"]), 1e-8)
     )

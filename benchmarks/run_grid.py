@@ -1,0 +1,101 @@
+"""Benchmark grid runner: sample_size x num_snps x num_covars x reps.
+
+Reproduces the reference's benchmark harness semantics
+(tests/benchmark_pygemma.py:303-344 grid + CSV appends;
+experiments/benchmarks/benchmarks.py:110-149 UKB grid): every config is
+timed for the TPU engine and the single-core CPU baseline, rows are appended
+to ``results.csv`` as they finish (crash loses only the current config), and
+the grid can be sharded across workers with TASK_ID/TASK_COUNT env vars
+(the reference's SLURM_ARRAY_TASK_ID pattern,
+tests/benchmark_pygemma.py:329-336).
+
+Usage:
+    python benchmarks/run_grid.py --out results.csv \
+        --samples 500,1000,2000 --snps 1000,5000 --covars 0,5 --reps 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import itertools
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_config(n, p, c, rep, include_cpu=True, cpu_snps=32):
+    from baselines.cpu_pygemma import run_gwas as cpu_run
+    from pygemma_tpu import GwasConfig, pygemma
+    from pygemma_tpu.sim import simulate_gwas
+
+    d = simulate_gwas(n=n, p=p, c=max(c, 1), seed=1000 * rep + n + p + c)
+    W = d.W if c > 0 else None
+
+    t0 = time.time()
+    df = pygemma(d.Y, d.X, W, d.K, config=GwasConfig())
+    t_tpu = time.time() - t0
+
+    t_cpu_per_snp = np.nan
+    if include_cpu:
+        ev, U = np.linalg.eigh(d.K.astype(np.float64))
+        ev = np.maximum(ev, 0)
+        Wn = W if W is not None else np.ones((n, 1))
+        sub = min(cpu_snps, p)
+        t0 = time.time()
+        cpu_run(ev, U.T @ Wn.astype(np.float64), U.T @ d.Y.astype(np.float64),
+                (U.T @ d.X[:, :sub].astype(np.float64)))
+        t_cpu_per_snp = (time.time() - t0) / sub
+
+    return {
+        "sample_size": n,
+        "num_snps": p,
+        "num_covars": c,
+        "rep": rep,
+        "pygemma_tpu_time": round(t_tpu, 4),
+        "pygemma_tpu_snps_per_sec": round(p / t_tpu, 2),
+        "cpu_baseline_time_extrapolated": round(t_cpu_per_snp * p, 4),
+        "speedup_vs_cpu_core": round(t_cpu_per_snp * p / t_tpu, 2),
+        "frac_finite_p": round(float(np.isfinite(df["p_wald"]).mean()), 4),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="results.csv")
+    ap.add_argument("--samples", default="200,500,1000")
+    ap.add_argument("--snps", default="500,2000")
+    ap.add_argument("--covars", default="0,3")
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--no-cpu", action="store_true")
+    args = ap.parse_args()
+
+    grid = list(itertools.product(
+        [int(x) for x in args.samples.split(",")],
+        [int(x) for x in args.snps.split(",")],
+        [int(x) for x in args.covars.split(",")],
+        range(args.reps),
+    ))
+    # worker sharding (reference SLURM-array pattern)
+    task_id = int(os.environ.get("TASK_ID", os.environ.get("SLURM_ARRAY_TASK_ID", 0)))
+    task_count = int(os.environ.get("TASK_COUNT", os.environ.get("SLURM_ARRAY_TASK_COUNT", 1)))
+    grid = grid[task_id::task_count]
+
+    write_header = not os.path.exists(args.out)
+    for n, p, c, rep in grid:
+        row = run_config(n, p, c, rep, include_cpu=not args.no_cpu)
+        with open(args.out, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(row))
+            if write_header:
+                w.writeheader()
+                write_header = False
+            w.writerow(row)
+        print(row, file=sys.stderr, flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -62,7 +62,8 @@ def _assoc_block_jit(ev, W, y, Xblock, cfg, null_arr, de):
         if null_arr is not None
         else None
     )
-    return assoc_block(ev, W, y, Xblock, cfg, null=null, de=de)
+    res = assoc_block(ev, W, y, Xblock, cfg, null=null, de=de)
+    return {k: v for k, v in res._asdict().items() if v is not None}
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -98,6 +99,7 @@ def pygemma(
     tests: Optional[Sequence[str]] = None,
     config: Optional[GwasConfig] = None,
     run_dir: Optional[str] = None,
+    mesh=None,
 ) -> pd.DataFrame:
     """Genome-wide LMM association scan (GEMMA method), TPU-native.
 
@@ -143,6 +145,22 @@ def pygemma(
     if Z is not None and eigen:
         K = np.asarray(loading_transform(jnp.asarray(Z, dtype), jnp.asarray(K, dtype)))
 
+    # --- optional multi-chip mesh execution --------------------------------
+    rot_fn = assoc_fn = eigh_fn = None
+    if mesh is not None:
+        from .parallel.dist import (
+            sharded_assoc_fn,
+            sharded_eigh_fn,
+            sharded_rotate_fn,
+        )
+        from .parallel.mesh import snp_sharding
+
+        with_null = ("lrt" in cfg.tests) or ("score" in cfg.tests)
+        assoc_fn = sharded_assoc_fn(mesh, cfg, de=de, with_null=with_null)
+        rot_fn = sharded_rotate_fn(mesh, cfg)
+        eigh_fn = sharded_eigh_fn(mesh, cfg)
+        xb_sharding = snp_sharding(mesh, cfg.snp_axis)
+
     ckpt = None
     eig_key = ""
     if run_dir is not None:
@@ -160,9 +178,14 @@ def pygemma(
             U_dev = jnp.asarray(cached[1])
         else:
             with log.stage("eigendecomposition"):
-                ev_dev, U_dev = auto_eigendecompose(
-                    np.asarray(K, dtype), cfg.eigh_backend, dtype
-                )
+                if mesh is not None and cfg.eigh_backend != "host":
+                    # distributed eigh: K sharded over the sample axis
+                    with mesh:
+                        ev_dev, U_dev = eigh_fn(jnp.asarray(K, dtype))
+                else:
+                    ev_dev, U_dev = auto_eigendecompose(
+                        np.asarray(K, dtype), cfg.eigh_backend, dtype
+                    )
                 if hasattr(ev_dev, "block_until_ready"):
                     ev_dev.block_until_ready()
             if ckpt is not None:
@@ -207,28 +230,38 @@ def pygemma(
                 xb = X[:, start:stop]
                 if xb.shape[1] < B:  # pad the final block to the static shape
                     xb = np.pad(xb, ((0, 0), (0, B - xb.shape[1])))
-                xb_dev = jnp.asarray(xb)
-                if U_dev is not None:
-                    xb_dev = rotate(U_dev, xb_dev)
-                res = _assoc_block_jit(
-                    ev_dev, W_dev, y_dev, xb_dev, cfg, null_arr, de
-                )
+                if mesh is not None:
+                    xb_dev = jax.device_put(xb, xb_sharding)
+                    with mesh:
+                        if U_dev is not None:
+                            xb_dev = rot_fn(jnp.asarray(U_dev), xb_dev)
+                        args = (ev_dev, W_dev, y_dev, xb_dev)
+                        if null_arr is not None:
+                            args = args + (null_arr,)
+                        res = assoc_fn(*args)
+                else:
+                    xb_dev = jnp.asarray(xb)
+                    if U_dev is not None:
+                        xb_dev = rotate(U_dev, xb_dev)
+                    res = _assoc_block_jit(
+                        ev_dev, W_dev, y_dev, xb_dev, cfg, null_arr, de
+                    )
                 blk = {
-                    "beta": np.asarray(res.beta[:m]),
-                    "se_beta": np.asarray(res.se_beta[:m]),
-                    "tau": np.asarray(res.tau[:m]),
-                    "lambda": np.asarray(res.lam[:m]),
-                    "F_wald": np.asarray(res.F_wald[:m]),
+                    "beta": np.asarray(res["beta"][:m]),
+                    "se_beta": np.asarray(res["se_beta"][:m]),
+                    "tau": np.asarray(res["tau"][:m]),
+                    "lambda": np.asarray(res["lam"][:m]),
+                    "F_wald": np.asarray(res["F_wald"][:m]),
                 }
                 if "lrt" in cfg.tests:
                     null_ml = float(null_arr[2])
-                    blk["lambda_ml"] = np.asarray(res.lambda_ml[:m])
-                    blk["logl_H1"] = np.asarray(res.logl_H1[:m])
+                    blk["lambda_ml"] = np.asarray(res["lambda_ml"][:m])
+                    blk["logl_H1"] = np.asarray(res["logl_H1"][:m])
                     blk["D_lrt"] = 2.0 * (
-                        np.asarray(res.logl_H1[:m], np.float64) - null_ml
+                        np.asarray(res["logl_H1"][:m], np.float64) - null_ml
                     )
                 if "score" in cfg.tests:
-                    blk["F_score"] = np.asarray(res.F_score[:m])
+                    blk["F_score"] = np.asarray(res["F_score"][:m])
                 if ckpt is not None:
                     ckpt.save_block(ph * p + start, blk)
                 for k in cols:

@@ -52,7 +52,9 @@ def sharded_assoc_fn(mesh: Mesh, cfg: GwasConfig, de: bool = False,
             else None
         )
         res = assoc_block(ev, W, y, X, cfg, null=null, de=de)
-        return tuple(r for r in res if r is not None)
+        return {
+            k: v for k, v in res._asdict().items() if v is not None
+        }
 
     in_shardings = (rep, rep, rep, xsh) + ((rep,) if with_null else ())
     return jax.jit(

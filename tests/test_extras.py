@@ -1,0 +1,88 @@
+"""Tests for linreg, simulators, Z-matrix transform, compare bridge, CLI."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import oracle
+from pygemma_tpu import GwasConfig, pygemma
+from pygemma_tpu.linreg import linreg
+from pygemma_tpu.sim import random_psd_kinship, simulate_gwas
+
+
+def test_linreg_matches_statsmodels_style_ols():
+    rng = np.random.default_rng(4)
+    n, p, c = 120, 15, 3
+    X = rng.normal(size=(n, p))
+    W = np.c_[np.ones(n), rng.normal(size=(n, c - 1))]
+    y = X[:, 0] * 0.5 + W @ rng.normal(size=c) + rng.normal(size=n)
+    df = linreg(y, X, W)
+    # dense per-SNP OLS oracle
+    for g in range(p):
+        D = np.c_[W, X[:, g]]
+        coef, res, *_ = np.linalg.lstsq(D, y, rcond=None)
+        dof = n - D.shape[1]
+        sigma2 = res[0] / dof
+        cov = sigma2 * np.linalg.inv(D.T @ D)
+        np.testing.assert_allclose(df["beta"][g], coef[-1], rtol=1e-4)
+        np.testing.assert_allclose(df["se_beta"][g], np.sqrt(cov[-1, -1]),
+                                   rtol=1e-4)
+
+
+def test_simulator_properties():
+    d = simulate_gwas(n=200, p=300, c=2, n_causal=5, pve=0.5, h2_poly=0.2,
+                      seed=9)
+    assert d.X.shape == (200, 300) and d.Y.shape == (200,)
+    assert len(d.causal) == 5 and np.count_nonzero(d.beta) == 5
+    # kinship PSD
+    ev = np.linalg.eigvalsh(d.K.astype(np.float64))
+    assert ev.min() > -1e-5
+    K2 = random_psd_kinship(50, seed=1)
+    assert np.linalg.eigvalsh(K2.astype(np.float64)).min() > -1e-6
+
+
+def test_z_loading_matrix():
+    """Z maps group random effects: K_eff = Z K Z' (lmm/lmm.py:124-125)."""
+    y, G, W, K0 = oracle.simulate(n=90, p=6, c=2, seed=41)
+    n = len(y)
+    q = 30
+    Z = np.zeros((n, q), np.float64)
+    Z[np.arange(n), np.arange(n) % q] = 1.0
+    Kq = oracle.simulate(n=q, p=50, c=1, seed=5)[3]
+    cfg = GwasConfig(dtype="float64", snp_block=8)
+    df_z = pygemma(y, G, W, Kq, Z=Z, config=cfg)
+    df_direct = pygemma(y, G, W, Z @ Kq @ Z.T, config=cfg)
+    np.testing.assert_allclose(df_z["p_wald"], df_direct["p_wald"], rtol=1e-8)
+
+
+def test_compare_bridge_skips_without_binary(monkeypatch):
+    from pygemma_tpu import compare
+
+    monkeypatch.setenv("PATH", "/nonexistent")
+    monkeypatch.delenv("GEMMA", raising=False)
+    assert compare.find_gemma() is None
+    assert compare.run_gemma(np.zeros(4), np.zeros((4, 2)), None,
+                             np.eye(4)) is None
+
+
+def test_compare_pvalues_metric():
+    import pandas as pd
+
+    from pygemma_tpu.compare import compare_pvalues
+
+    a = pd.DataFrame({"p_wald": [0.5, 1e-4, 0.01]})
+    b = pd.DataFrame({"p_wald": [0.5, 1.2e-4, 0.011]})
+    m = compare_pvalues(a, b)
+    assert m["n"] == 3 and m["max_abs_dlog10p"] < 0.1
+
+
+def test_cli_help_runs():
+    r = subprocess.run(
+        [sys.executable, "-m", "pygemma_tpu", "run", "--help"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0 and "--bfile" in r.stdout

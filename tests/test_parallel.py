@@ -45,7 +45,7 @@ def test_sharded_pipeline_matches_single_device(data):
         Xr = rot_fn(U, jnp.asarray(G))
         out = assoc_fn(ev, U.T @ jnp.asarray(W), U.T @ jnp.asarray(y), Xr)
         jax.block_until_ready(out)
-    beta_sharded = np.asarray(out[0])
+    beta_sharded = np.asarray(out["beta"])
 
     # single-device reference through the same code path
     from pygemma_tpu.core.assoc import assoc_block
@@ -56,7 +56,7 @@ def test_sharded_pipeline_matches_single_device(data):
                       U1.T @ jnp.asarray(G), cfg)
     np.testing.assert_allclose(beta_sharded, np.asarray(res.beta),
                                rtol=2e-3, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(out[4]), np.asarray(res.F_wald),
+    np.testing.assert_allclose(np.asarray(out["F_wald"]), np.asarray(res.F_wald),
                                rtol=5e-3, atol=1e-4)
 
 
@@ -73,7 +73,7 @@ def test_assoc_output_sharded_over_snp_axis(data):
                        jnp.asarray(U.T @ y), Xr)
         jax.block_until_ready(out)
     # outputs stay sharded over the snp axis (no implicit full replication)
-    shard_sizes = {s.data.shape for s in out[0].addressable_shards}
+    shard_sizes = {s.data.shape for s in out["beta"].addressable_shards}
     assert shard_sizes == {(64 // 8,)}
 
 
@@ -89,3 +89,20 @@ def test_eigh_reconstruction_sharded(data):
     # rotation invariants: orthonormal U, K reconstruction
     np.testing.assert_allclose(U.T @ U, np.eye(K.shape[0]), atol=5e-3)
     np.testing.assert_allclose(U @ np.diag(ev) @ U.T, K, atol=5e-2)
+
+
+def test_pygemma_driver_with_mesh(data):
+    """Public driver end-to-end over the virtual mesh (multi-chip path)."""
+    from pygemma_tpu import GwasConfig as C, pygemma
+
+    y, G, W, K = data
+    cfg = C(dtype="float32", snp_block=32, eigh_backend="device")
+    mesh = make_mesh(snp=4, sample=2)
+    df_mesh = pygemma(y, G, W, K, config=cfg, mesh=mesh,
+                      tests=("wald", "score"))
+    df_single = pygemma(y, G, W, K, config=cfg, tests=("wald", "score"))
+    np.testing.assert_allclose(df_mesh["beta"], df_single["beta"],
+                               rtol=5e-3, atol=1e-5)
+    lp = -np.log10(np.maximum(df_mesh["p_wald"], 1e-300))
+    ls = -np.log10(np.maximum(df_single["p_wald"], 1e-300))
+    np.testing.assert_allclose(lp, ls, rtol=5e-2, atol=5e-2)
