@@ -87,7 +87,16 @@ def main():
 
     write_header = not os.path.exists(args.out)
     for n, p, c, rep in grid:
-        row = run_config(n, p, c, rep, include_cpu=not args.no_cpu)
+        try:
+            row = run_config(n, p, c, rep, include_cpu=not args.no_cpu)
+        except Exception as e:  # NaN row, run continues (reference
+            # benchmarks.py:281-343 wraps rivals the same way)
+            print(f"config ({n},{p},{c},{rep}) failed: {e}", file=sys.stderr)
+            row = {"sample_size": n, "num_snps": p, "num_covars": c,
+                   "rep": rep, "pygemma_tpu_time": np.nan,
+                   "pygemma_tpu_snps_per_sec": np.nan,
+                   "cpu_baseline_time_extrapolated": np.nan,
+                   "speedup_vs_cpu_core": np.nan, "frac_finite_p": np.nan}
         with open(args.out, "a", newline="") as f:
             w = csv.DictWriter(f, fieldnames=list(row))
             if write_header:
