@@ -146,7 +146,7 @@ def pygemma(
         K = np.asarray(loading_transform(jnp.asarray(Z, dtype), jnp.asarray(K, dtype)))
 
     # --- optional multi-chip mesh execution --------------------------------
-    rot_fn = assoc_fn = eigh_fn = None
+    rot_fn = assoc_fn = eigh_fn = xb_sharding = None
     if mesh is not None:
         from .parallel.dist import (
             sharded_assoc_fn,
@@ -202,6 +202,32 @@ def pygemma(
 
     B = min(cfg.snp_block, max(p, 1))
     n_pheno = Y.shape[1]
+
+    # Batched multi-phenotype scan: one vmapped executable for all
+    # phenotypes (eQTL-style workloads; reference runs a SLURM array per
+    # gene instead, experiments/1000G/run_pyGEMMA.sh:43-52).
+    if n_pheno >= 3 and mesh is None and ckpt is None:
+        frames = _scan_phenos_batched(
+            X, Y_dev, W_dev, ev_dev, U_dev, cfg, de, n, p, log
+        )
+    else:
+        frames = _scan_phenos_looped(
+            X, Y_dev, W_dev, ev_dev, U_dev, cfg, de, n, p, B, log,
+            ckpt, mesh, xb_sharding, rot_fn, assoc_fn,
+        )
+    results_df = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+    if snps is not None:
+        results_df["SNPs"] = (
+            list(snps) * n_pheno if n_pheno > 1 else list(snps)
+        )
+    return results_df
+
+
+def _scan_phenos_looped(X, Y_dev, W_dev, ev_dev, U_dev, cfg, de, n, p, B, log,
+                        ckpt, mesh, xb_sharding, rot_fn, assoc_fn):
+    n_pheno = Y_dev.shape[1]
+    c = W_dev.shape[1]
+    dtype = X.dtype
     frames = []
     for ph in range(n_pheno):
         y_dev = Y_dev[:, ph]
@@ -219,19 +245,32 @@ def pygemma(
             cols["F_score"] = []
 
         with log.stage(f"association scan ({p} SNPs, n={n})"):
+            # double-buffered host->device streaming: slice/pad/transfer of
+            # block b+1 overlaps device compute on block b
+            # (io/streaming.py; the reference's analogue is its mp.Pool
+            # column-block iterator, lmm/lmm.py:427-436)
+            from .io.streaming import SnpBlockStreamer
+
+            streamer = SnpBlockStreamer(X, B, dtype=dtype) \
+                if mesh is None else None
+            stream_iter = iter(streamer) if streamer is not None else None
             for start in range(0, p, B):
                 stop = min(start + B, p)
                 m = stop - start
+                prefetched = next(stream_iter) if stream_iter is not None else None
                 if ckpt is not None and ckpt.has_block(ph * p + start):
                     blk = ckpt.load_block(ph * p + start)
                     for k in cols:
                         cols[k].append(blk[k])
                     continue
-                xb = X[:, start:stop]
-                if xb.shape[1] < B:  # pad the final block to the static shape
-                    xb = np.pad(xb, ((0, 0), (0, B - xb.shape[1])))
+                if prefetched is None:
+                    xb = X[:, start:stop]
+                    if xb.shape[1] < B:  # pad final block to the static shape
+                        xb = np.pad(xb, ((0, 0), (0, B - xb.shape[1])))
+                else:
+                    xb = prefetched[2]
                 if mesh is not None:
-                    xb_dev = jax.device_put(xb, xb_sharding)
+                    xb_dev = jax.device_put(np.asarray(xb), xb_sharding)
                     with mesh:
                         if U_dev is not None:
                             xb_dev = rot_fn(jnp.asarray(U_dev), xb_dev)
@@ -278,9 +317,82 @@ def pygemma(
             df["pheno"] = ph
         frames.append(df)
 
-    results_df = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
-    if snps is not None:
-        results_df["SNPs"] = (
-            list(snps) * n_pheno if n_pheno > 1 else list(snps)
-        )
-    return results_df
+    return frames
+
+
+@partial(jax.jit, static_argnames=("cfg", "de", "with_null"))
+def _assoc_multi_jit(ev, W, Y_kn, Xblock, cfg, null_stack, de, with_null):
+    return assoc_mod.assoc_block_multi(
+        ev, W, Y_kn, Xblock, cfg,
+        null_stack=null_stack if with_null else None, de=de,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _fit_null_multi_jit(ev, W, Y_kn, cfg):
+    return assoc_mod.fit_null_multi(ev, W, Y_kn, cfg)
+
+
+def _scan_phenos_batched(X, Y_dev, W_dev, ev_dev, U_dev, cfg, de, n, p, log):
+    """All phenotypes per block in one vmapped executable (k, B)."""
+    n_pheno = Y_dev.shape[1]
+    c = W_dev.shape[1]
+    # shrink the block so the (k, B, n) weight temporaries stay bounded
+    B = max(128, min(cfg.snp_block, max(p, 1)) // n_pheno)
+    Y_kn = jnp.asarray(Y_dev).T  # (k, n)
+
+    with_null = ("lrt" in cfg.tests) or ("score" in cfg.tests)
+    null_stack = None
+    if with_null:
+        with log.stage(f"null-model fits ({n_pheno} phenotypes)"):
+            null_stack = _fit_null_multi_jit(ev_dev, W_dev, Y_kn, cfg)
+
+    keys = ["beta", "se_beta", "tau", "lam", "F_wald"]
+    if "lrt" in cfg.tests:
+        keys += ["lambda_ml", "logl_H1"]
+    if "score" in cfg.tests:
+        keys += ["F_score"]
+    cols = {k: [] for k in keys}
+
+    with log.stage(
+        f"association scan ({p} SNPs x {n_pheno} phenotypes, n={n})"
+    ):
+        from .io.streaming import SnpBlockStreamer
+
+        for start, stop, xb_dev in SnpBlockStreamer(X, B, dtype=X.dtype):
+            m = stop - start
+            if U_dev is not None:
+                xb_dev = rotate(jnp.asarray(U_dev), xb_dev)
+            res = _assoc_multi_jit(
+                ev_dev, W_dev, Y_kn, xb_dev, cfg, null_stack, de, with_null
+            )
+            for k in keys:
+                cols[k].append(np.asarray(res[k][:, :m]))  # (k, m)
+
+    full = {k: np.concatenate(v, axis=1) for k, v in cols.items()}  # (k, p)
+    frames = []
+    for ph in range(n_pheno):
+        out = {
+            "beta": full["beta"][ph],
+            "se_beta": full["se_beta"][ph],
+            "tau": full["tau"][ph],
+            "lambda": full["lam"][ph],
+            "F_wald": full["F_wald"][ph],
+        }
+        if "lrt" in cfg.tests:
+            out["lambda_ml"] = full["lambda_ml"][ph]
+            out["logl_H1"] = full["logl_H1"][ph]
+            out["D_lrt"] = 2.0 * (
+                full["logl_H1"][ph].astype(np.float64)
+                - float(null_stack[ph, 2])
+            )
+        if "score" in cfg.tests:
+            out["F_score"] = full["F_score"][ph]
+        _host_pvalues(out, n, c, cfg.tests)
+        df = pd.DataFrame(out)
+        order = ["beta", "se_beta", "tau", "lambda", "F_wald", "p_wald"]
+        order += [k for k in df.columns if k not in order]
+        df = df[order]
+        df["pheno"] = ph
+        frames.append(df)
+    return frames

@@ -178,3 +178,47 @@ def assoc_block(
         lambda_ml=lam_ml,
         logl_H1=logl_H1,
     )
+
+
+def assoc_block_multi(
+    ev: jnp.ndarray,  # (n,)
+    W: jnp.ndarray,  # (n, c)
+    Y_kn: jnp.ndarray,  # (k, n) rotated phenotypes (e.g. genes in an eQTL scan)
+    X: jnp.ndarray,  # (n, B)
+    cfg: GwasConfig,
+    null_stack: Optional[jnp.ndarray] = None,  # (k, 3) stacked NullFit rows
+    de: bool = False,
+):
+    """Vectorize the association block over phenotypes with ``vmap``.
+
+    One compiled executable scans every phenotype against the block -- the
+    TPU answer to the reference's per-gene SLURM array
+    (experiments/1000G/run_pyGEMMA.sh:43-52).  The fused Pallas kernel is
+    disabled under vmap (the XLA path batches cleanly); callers should
+    shrink the SNP block by ~k to keep the (k, B, n) weight temps in HBM.
+    Returns a dict of (k, B) arrays.
+    """
+    cfg_v = cfg.replace(use_fused_kernel=False)
+
+    if null_stack is not None:
+        def one(y, null_row):
+            null = NullFit(null_row[0], null_row[1], null_row[2])
+            res = assoc_block(ev, W, y, X, cfg_v, null=null, de=de)
+            return {k: v for k, v in res._asdict().items() if v is not None}
+
+        return jax.vmap(one)(Y_kn, null_stack)
+
+    def one(y):
+        res = assoc_block(ev, W, y, X, cfg_v, de=de)
+        return {k: v for k, v in res._asdict().items() if v is not None}
+
+    return jax.vmap(one)(Y_kn)
+
+
+def fit_null_multi(ev, W, Y_kn, cfg: GwasConfig) -> jnp.ndarray:
+    """vmap of :func:`fit_null` over phenotypes -> (k, 3) stacked rows."""
+    def one(y):
+        nf = fit_null(ev, W, y, cfg)
+        return jnp.stack([nf.lambda_reml, nf.lambda_ml, nf.loglik_ml])
+
+    return jax.vmap(one)(Y_kn)

@@ -86,3 +86,22 @@ def test_cli_help_runs():
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert r.returncode == 0 and "--bfile" in r.stdout
+
+
+def test_batched_phenos_match_looped():
+    """k>=3 phenotypes trigger the vmapped scan; must equal the looped path."""
+    y, G, W, K = oracle.simulate(n=100, p=16, c=2, seed=61)
+    rng = np.random.default_rng(3)
+    Y3 = np.stack([y, y[::-1], rng.normal(size=100)], axis=1)
+    cfg = GwasConfig(dtype="float64", snp_block=8)
+    df_b = pygemma(Y3, G, W, K, config=cfg, tests=("wald", "lrt", "score"))
+    # force the looped path via a run_dir checkpoint
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df_l = pygemma(Y3, G, W, K, config=cfg, tests=("wald", "lrt", "score"),
+                       run_dir=td)
+    for col in ("beta", "se_beta", "lambda", "p_wald", "p_lrt", "p_score"):
+        np.testing.assert_allclose(df_b[col], df_l[col], rtol=1e-8,
+                                   atol=1e-12, err_msg=col)
+    assert list(df_b["pheno"].unique()) == [0, 1, 2]
