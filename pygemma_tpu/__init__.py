@@ -7,7 +7,19 @@ over device meshes.
 
 __version__ = "0.1.0"
 
-from .api import pygemma
+from . import io, linreg, plotting, preprocess, sim  # noqa: F401
+from .api import estimate_lambda, pygemma
 from .config import GwasConfig, from_env
 
-__all__ = ["pygemma", "GwasConfig", "from_env", "__version__"]
+__all__ = [
+    "pygemma",
+    "estimate_lambda",
+    "GwasConfig",
+    "from_env",
+    "io",
+    "linreg",
+    "plotting",
+    "preprocess",
+    "sim",
+    "__version__",
+]

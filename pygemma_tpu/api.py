@@ -72,6 +72,32 @@ def _fit_null_jit(ev, W, y, cfg):
     return jnp.stack([nf.lambda_reml, nf.lambda_ml, nf.loglik_ml])
 
 
+def estimate_lambda(eigenVals, Y, W, restricted: bool = True,
+                    grid: bool = False,
+                    config: Optional[GwasConfig] = None) -> float:
+    """Variance-ratio estimate for a single design (rotated inputs).
+
+    Public analogue of the reference's ``calc_lambda_restricted`` /
+    ``calc_lambda`` entry points (pygemma_model.pyx:64, lmm/lmm.py:22-84):
+    eigenVals (n,), Y (n,) outcome, W (n, q) design -- all already rotated
+    into the kinship eigenbasis.
+    """
+    from .core.grams import pair_products
+    from .core.solver import LambdaProblem, solve_lambda
+
+    cfg = (config or from_env()).replace(grid=grid)
+    dtype = np.dtype(cfg.dtype)
+    ev = jnp.asarray(np.asarray(eigenVals, dtype).reshape(-1))
+    Wd = jnp.asarray(np.asarray(W, dtype))
+    v = jnp.asarray(np.asarray(Y, dtype).reshape(-1, 1))
+    prob = LambdaProblem(
+        ev, Wd, pair_products(Wd), v, v * v, Wd.shape[0], Wd.shape[1],
+        False, restricted,
+    )
+    lam, _ = solve_lambda(prob, cfg)
+    return float(lam[0])
+
+
 def _host_pvalues(res: dict, n: int, c: int, tests) -> None:
     """Recompute p-values on host in float64 with scipy for exact parity with
     the reference's ``stats.f.sf`` (lmm/lmm.py:482)."""

@@ -45,10 +45,11 @@ class GwasConfig:
     #: decade-bracket endpoints: lambda in [10**low, 10**high]
     lambda_pow_low: float = LAMBDA_POW_LOW
     lambda_pow_high: float = LAMBDA_POW_HIGH
-    #: number of masked bisection iterations per bracketed root.  12 shrinks
-    #: a decade bracket to ~0.2% width -- tighter than the reference's
-    #: brentq rtol=0.1 starting point for Newton (pyx:179)
-    bisect_iters: int = 12
+    #: number of masked bisection iterations per bracketed root.  6 shrinks
+    #: a decade bracket to ~1.5% width -- comparable to the reference's
+    #: brentq rtol=0.1 starting point for Newton (pyx:179), which then
+    #: converges quadratically under the same safeguards
+    bisect_iters: int = 6
     #: number of masked safeguarded-Newton iterations per root
     newton_iters: int = 10
     #: Newton relative-step convergence tolerance (pygemma_model.pyx:1411)
