@@ -224,7 +224,7 @@ def grams_per_snp_lambda(
 
 
 def grams_per_snp_lambda_fused(
-    lam: jnp.ndarray,  # (B,)
+    lam: jnp.ndarray,  # (B,) or (B, R) -- R lambda slots per SNP
     ev: jnp.ndarray,  # (n,)
     shared: jnp.ndarray,  # (n, s)
     pairs: jnp.ndarray,  # (n, m)
@@ -235,22 +235,65 @@ def grams_per_snp_lambda_fused(
     """Pallas-fused variant of :func:`grams_per_snp_lambda` (TPU only).
 
     Same numerical contract; the (B, n) weight matrices never touch HBM
-    (see pygemma_tpu/ops/gram_kernel.py).
+    (see pygemma_tpu/ops/gram_kernel.py).  With a 2-D ``lam`` all R slots
+    share one pass over the genotype rows; Gram tensors come back with a
+    slot axis: (B, R, s+1, s+1).
     """
     from ..ops.gram_kernel import fused_grams
 
     n, s = shared.shape
-    B = vT.shape[0]
     kmax = max(ks)
     S, vS, vv, sum_d, sum_d2, sum_logh = fused_grams(
         lam, ev, pairs, shared, vT, kmax, want_logh
     )
     grams = []
     for k in ks:
-        S_k = unpack_sym(S[:, k - 1], s)
-        grams.append(_assemble(S_k, vS[:, k - 1], vv[:, k - 1], B, s))
+        S_k = unpack_sym(S[..., k - 1, :], s)
+        grams.append(
+            _assemble_nd(S_k, vS[..., k - 1, :], vv[..., k - 1])
+        )
     sums = GramSums(sum_d=sum_d, sum_d2=sum_d2, sum_logh=sum_logh)
     return tuple(grams), sums
+
+
+def grams_per_snp_lambda_slots(
+    lam: jnp.ndarray,  # (B, R)
+    ev: jnp.ndarray,
+    shared: jnp.ndarray,
+    pairs: jnp.ndarray,
+    v: jnp.ndarray,
+    v2: jnp.ndarray,
+    ks: Sequence[int],
+    want_logh: bool = False,
+) -> Tuple[Tuple[jnp.ndarray, ...], GramSums]:
+    """XLA fallback for multi-slot lambda: per-slot builds stacked on axis 1."""
+    parts = [
+        grams_per_snp_lambda(lam[:, r], ev, shared, pairs, v, v2, ks,
+                             want_logh=want_logh)
+        for r in range(lam.shape[1])
+    ]
+    grams = tuple(
+        jnp.stack([p[0][i] for p in parts], axis=1)
+        for i in range(len(parts[0][0]))
+    )
+    sums = GramSums(
+        sum_d=jnp.stack([p[1].sum_d for p in parts], axis=1),
+        sum_d2=jnp.stack([p[1].sum_d2 for p in parts], axis=1),
+        sum_logh=jnp.stack([p[1].sum_logh for p in parts], axis=1),
+    )
+    return grams, sums
+
+
+def _assemble_nd(S_k, vS_k, vv_k):
+    """(..., s, s) + (..., s) + (...,) -> (..., s+1, s+1), per-SNP col last."""
+    s = S_k.shape[-1]
+    batch = S_k.shape[:-2]
+    A = jnp.zeros(batch + (s + 1, s + 1), S_k.dtype)
+    A = A.at[..., :s, :s].set(S_k)
+    A = A.at[..., :s, s].set(vS_k)
+    A = A.at[..., s, :s].set(vS_k)
+    A = A.at[..., s, s].set(vv_k)
+    return A
 
 
 def permute_x_before_y(A: jnp.ndarray, c: int) -> jnp.ndarray:

@@ -32,6 +32,7 @@ from . import reml
 from .grams import (
     grams_per_snp_lambda,
     grams_per_snp_lambda_fused,
+    grams_per_snp_lambda_slots,
     grams_shared_lambda,
     grams_shared_multi,
     permute_x_before_y,
@@ -89,6 +90,12 @@ def evaluate(problem: LambdaProblem, lam, need: str, shared_lam):
         grams, sums = grams_per_snp_lambda_fused(
             lam, problem.ev, problem.shared, problem.pairs, problem.vT,
             ks, want_logh=want_logh,
+        )
+    elif lam.ndim == 2:
+        # (B, R) lambda slots, XLA fallback
+        grams, sums = grams_per_snp_lambda_slots(
+            lam, problem.ev, problem.shared, problem.pairs, problem.v,
+            problem.v2, ks, want_logh=want_logh,
         )
     else:
         grams, sums = grams_per_snp_lambda(
@@ -178,61 +185,65 @@ def solve_lambda(problem: LambdaProblem, cfg: GwasConfig):
         problem, jnp.asarray([decades[0], decades[-1]], dtype), "lik", "multi"
     )  # (2, B)
     ep_liks = jnp.broadcast_to(ep_liks, (2, B))
-    cand_lams = [jnp.broadcast_to(ep_low, (B,)), jnp.broadcast_to(ep_high, (B,))]
-    cand_liks = [ep_liks[0], ep_liks[1]]
-    cand_valid = [jnp.ones((B,), bool), jnp.ones((B,), bool)]
 
-    for r in range(R):
-        vmask = valid[:, r]
-        lo = lo0[:, r]
-        hi = hi0[:, r]
-        flo = sign_lo[:, r]
+    # --- stages 3-5: all R root slots refined simultaneously.  Every eval
+    # takes a (B, R) lambda tensor; the fused kernel reads the genotype rows
+    # once for all slots.
+    lo, hi = lo0, hi0  # (B, R)
+    flo = sign_lo
 
-        # --- stage 3: masked bisection (replaces brentq, pyx:176-182) ------
-        def bisect_body(_, state):
-            lo, hi = state
-            mid = 0.5 * (lo + hi)
-            sm = _sign(evaluate(problem, mid, "d1", False))
-            go_right = sm == flo  # root is in [mid, hi]
-            return jnp.where(go_right, mid, lo), jnp.where(go_right, hi, mid)
+    def bisect_body(_, state):
+        # masked bisection (replaces brentq, pyx:176-182)
+        lo, hi = state
+        mid = 0.5 * (lo + hi)
+        sm = _sign(evaluate(problem, mid, "d1", False))
+        go_right = sm == flo  # root is in [mid, hi]
+        return jnp.where(go_right, mid, lo), jnp.where(go_right, hi, mid)
 
-        lo, hi = jax.lax.fori_loop(0, cfg.bisect_iters, bisect_body, (lo, hi))
-        lam_r = 0.5 * (lo + hi)
+    lo, hi = jax.lax.fori_loop(0, cfg.bisect_iters, bisect_body, (lo, hi))
+    lam_r = 0.5 * (lo + hi)
 
-        # --- stage 4: masked safeguarded Newton (pyx:1349-1416) ------------
-        def newton_body(_, state):
-            lam_r, done = state
-            d1, d2 = evaluate(problem, lam_r, "newton", False)
-            ratio = d1 / d2
-            # pyx:1392 -- stop without updating when the three-way sign
-            # product is <= 0 (covers d1==0, d2==0; NaN falls through to the
-            # NaN guard exactly as in the reference).
-            bad_sign = (jnp.sign(ratio) * jnp.sign(d1) * jnp.sign(d2)) <= 0
-            cand = lam_r - ratio
-            bad_num = jnp.isnan(cand) | jnp.isinf(cand)
-            below = cand < lo0[:, r]
-            above = cand > hi0[:, r]
-            clamped = jnp.clip(cand, lo0[:, r], hi0[:, r])
-            rel = jnp.abs(cand - lam_r) / jnp.abs(lam_r)
-            do_upd = (~done) & (~bad_sign) & (~bad_num)
-            new_lam = jnp.where(do_upd, clamped, lam_r)
-            newly_done = (
-                bad_sign | bad_num | below | above | (rel < cfg.newton_rtol)
-            )
-            return new_lam, done | newly_done
-
-        lam_r, _ = jax.lax.fori_loop(
-            0, cfg.newton_iters, newton_body, (lam_r, ~vmask)
+    def newton_body(_, state):
+        # masked safeguarded Newton (pyx:1349-1416)
+        lam_r, done = state
+        d1, d2 = evaluate(problem, lam_r, "newton", False)
+        ratio = d1 / d2
+        # pyx:1392 -- stop without updating when the three-way sign product
+        # is <= 0 (covers d1==0, d2==0; NaN falls through to the NaN guard
+        # exactly as in the reference).
+        bad_sign = (jnp.sign(ratio) * jnp.sign(d1) * jnp.sign(d2)) <= 0
+        cand = lam_r - ratio
+        bad_num = jnp.isnan(cand) | jnp.isinf(cand)
+        below = cand < lo0
+        above = cand > hi0
+        clamped = jnp.clip(cand, lo0, hi0)
+        rel = jnp.abs(cand - lam_r) / jnp.abs(lam_r)
+        do_upd = (~done) & (~bad_sign) & (~bad_num)
+        new_lam = jnp.where(do_upd, clamped, lam_r)
+        newly_done = (
+            bad_sign | bad_num | below | above | (rel < cfg.newton_rtol)
         )
+        return new_lam, done | newly_done
 
-        # --- stage 5: likelihood at the refined root (pyx:186-188) ---------
-        lik_r = evaluate(problem, lam_r, "lik", False)
-        cand_lams.append(lam_r)
-        cand_liks.append(jnp.where(vmask, lik_r, -jnp.inf))
-        cand_valid.append(vmask)
+    lam_r, _ = jax.lax.fori_loop(
+        0, cfg.newton_iters, newton_body, (lam_r, ~valid)
+    )
 
-    lams = jnp.stack(cand_lams, axis=1)
-    liks = jnp.stack(cand_liks, axis=1)
+    # likelihood at the refined roots (pyx:186-188)
+    lik_r = evaluate(problem, lam_r, "lik", False)  # (B, R)
+    lik_r = jnp.where(valid, lik_r, -jnp.inf)
+
+    # candidate order: endpoints first (low wins ties), then roots in
+    # bracket order -- matches the reference's strict-improvement scan.
+    lams = jnp.concatenate(
+        [
+            jnp.broadcast_to(ep_low, (B, 1)),
+            jnp.broadcast_to(ep_high, (B, 1)),
+            lam_r,
+        ],
+        axis=1,
+    )
+    liks = jnp.concatenate([ep_liks.T, lik_r], axis=1)
     best = jnp.argmax(liks, axis=1)
     lam_star = jnp.take_along_axis(lams, best[:, None], 1)[:, 0]
     lik_star = jnp.take_along_axis(liks, best[:, None], 1)[:, 0]

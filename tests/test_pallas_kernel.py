@@ -48,3 +48,37 @@ def test_fused_matches_xla(n, B, c, want_logh):
     if want_logh:
         np.testing.assert_allclose(sums_f.sum_logh, sums_ref.sum_logh,
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_fused_multi_slot_matches_single(rng=None):
+    """2-D lambda (root slots) must equal two independent 1-D evaluations."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from pygemma_tpu.core.grams import grams_per_snp_lambda_slots
+
+    rng = np.random.default_rng(99)
+    n, B, c = 260, 24, 2
+    ev = np.abs(rng.normal(size=n)).astype(np.float32)
+    W = rng.normal(size=(n, c)).astype(np.float32)
+    y = rng.normal(size=n).astype(np.float32)
+    X = rng.normal(size=(n, B)).astype(np.float32)
+    lam2 = np.power(10.0, rng.uniform(-3, 3, size=(B, 2))).astype(np.float32)
+
+    shared = jnp.asarray(np.c_[W, y])
+    pairs = pair_products(shared)
+    v = jnp.asarray(X)
+    g_ref, s_ref = grams_per_snp_lambda_slots(
+        jnp.asarray(lam2), jnp.asarray(ev), shared, pairs, v, v * v,
+        (1, 2, 3), want_logh=True,
+    )
+    with pltpu.force_tpu_interpret_mode():
+        g_f, s_f = grams_per_snp_lambda_fused(
+            jnp.asarray(lam2), jnp.asarray(ev), shared, pairs,
+            jnp.asarray(X.T), (1, 2, 3), want_logh=True,
+        )
+    for k in range(3):
+        np.testing.assert_allclose(np.asarray(g_f[k]), np.asarray(g_ref[k]),
+                                   rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(s_f.sum_d, s_ref.sum_d, rtol=1e-5)
+    np.testing.assert_allclose(s_f.sum_logh, s_ref.sum_logh, rtol=1e-5,
+                               atol=1e-5)
