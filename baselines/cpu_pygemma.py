@@ -143,11 +143,9 @@ def calc_lambda_restricted(ws, q, pow_low=-5.0, pow_high=5.0):
                 if np.sign(ratio) * np.sign(d1v) * np.sign(d2v) <= 0:
                     break
                 lam_new = lam_root - ratio
-                if lam_new < lam0:
-                    lam_root = lam0
-                    break
-                if lam_new > lam1:
-                    lam_root = lam1
+                # out-of-bracket: break WITHOUT updating (reference
+                # pyx:1398-1404 clamp is a dead local)
+                if lam_new < lam0 or lam_new > lam1:
                     break
                 if np.isnan(lam_new) or np.isinf(lam_new):
                     break

@@ -133,7 +133,11 @@ def main(argv=None):
     r.add_argument("--grid", action="store_true")
     r.add_argument("--qnorm", action="store_true")
     r.add_argument("--drop-constant", action="store_true")
-    r.add_argument("--add-intercept", action="store_true", default=True)
+    r.add_argument("--add-intercept", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="prepend an intercept column to W "
+                        "(--no-add-intercept if your covariate file already "
+                        "includes one, as GEMMA -c files do)")
     r.add_argument("--snp-block", type=int, default=2048)
     r.add_argument("--run-dir", help="checkpoint/resume directory")
     r.add_argument("--verbose", type=int, default=1)

@@ -193,8 +193,21 @@ def pygemma(
         from .utils.checkpoint import RunCheckpoint
 
         ckpt = RunCheckpoint(run_dir)
+        ckpt.clean_stale()
         Karr = np.asarray(K)
         eig_key = f"{Karr.shape}|{float(np.sum(Karr[:2])):.8g}|{cfg.dtype}"
+        # Saved blocks are only resumable under the same settings.
+        run_meta = {"tests": list(cfg.tests), "grid": cfg.grid,
+                    "dtype": cfg.dtype, "de": de, "snp_block": cfg.snp_block}
+        prev_meta = ckpt.load_meta()
+        if prev_meta is None:
+            ckpt.save_meta(run_meta)
+        elif prev_meta != run_meta:
+            raise ValueError(
+                f"run_dir {run_dir} holds blocks computed with different "
+                f"settings ({prev_meta}); use a fresh run_dir for "
+                f"{run_meta}"
+            )
 
     # --- eigendecomposition + rotation (lmm/lmm.py:151-167, 243-246) -------
     if eigen:

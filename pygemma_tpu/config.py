@@ -94,14 +94,23 @@ class GwasConfig:
         return int(round(self.lambda_pow_high - self.lambda_pow_low)) + 1
 
 
-def _coerce(val: str, target_type):
-    if target_type is bool:
+def _coerce(val: str, default):
+    """Coerce an env string by the field's DEFAULT value type (annotations
+    are strings under ``from __future__ import annotations``, so they can't
+    drive the dispatch).  Fields defaulting to None (tri-state booleans)
+    accept none/auto as None and booleans otherwise."""
+    if default is None:
+        low = val.lower()
+        if low in ("", "none", "auto"):
+            return None
+        return low in ("1", "true", "yes", "on")
+    if isinstance(default, bool):
         return val.lower() in ("1", "true", "yes", "on")
-    if target_type is int:
+    if isinstance(default, int):
         return int(val)
-    if target_type is float:
+    if isinstance(default, float):
         return float(val)
-    if target_type in (tuple, Tuple[str, ...]):
+    if isinstance(default, tuple):
         return tuple(s.strip() for s in val.split(",") if s.strip())
     return val
 
@@ -113,5 +122,5 @@ def from_env(base: Optional[GwasConfig] = None) -> GwasConfig:
     for f in dataclasses.fields(GwasConfig):
         key = "PYGEMMA_TPU_" + f.name.upper()
         if key in os.environ:
-            updates[f.name] = _coerce(os.environ[key], f.type if isinstance(f.type, type) else type(getattr(cfg, f.name)))
+            updates[f.name] = _coerce(os.environ[key], getattr(cfg, f.name))
     return cfg.replace(**updates) if updates else cfg

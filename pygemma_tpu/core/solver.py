@@ -214,15 +214,14 @@ def solve_lambda(problem: LambdaProblem, cfg: GwasConfig):
         bad_sign = (jnp.sign(ratio) * jnp.sign(d1) * jnp.sign(d2)) <= 0
         cand = lam_r - ratio
         bad_num = jnp.isnan(cand) | jnp.isinf(cand)
-        below = cand < lo0
-        above = cand > hi0
-        clamped = jnp.clip(cand, lo0, hi0)
+        # pyx:1398-1404 -- an out-of-bracket step BREAKS WITHOUT updating:
+        # the clamp assignment there is dead (lambda_root keeps the previous
+        # iterate), so out-of-bracket is just another stop condition here.
+        oob = (cand < lo0) | (cand > hi0)
         rel = jnp.abs(cand - lam_r) / jnp.abs(lam_r)
-        do_upd = (~done) & (~bad_sign) & (~bad_num)
-        new_lam = jnp.where(do_upd, clamped, lam_r)
-        newly_done = (
-            bad_sign | bad_num | below | above | (rel < cfg.newton_rtol)
-        )
+        do_upd = (~done) & (~bad_sign) & (~bad_num) & (~oob)
+        new_lam = jnp.where(do_upd, cand, lam_r)
+        newly_done = bad_sign | bad_num | oob | (rel < cfg.newton_rtol)
         return new_lam, done | newly_done
 
     lam_r, _ = jax.lax.fori_loop(

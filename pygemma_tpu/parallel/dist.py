@@ -44,6 +44,9 @@ def sharded_assoc_fn(mesh: Mesh, cfg: GwasConfig, de: bool = False,
     rep = replicated(mesh)
     xsh = snp_sharding(mesh, cfg.snp_axis)
     rsh = result_sharding(mesh, cfg.snp_axis)
+    # The Pallas kernel has no GSPMD partitioning rule; under a sharded jit
+    # the XLA Gram path partitions cleanly over the snp axis instead.
+    cfg = cfg.replace(use_fused_kernel=False)
 
     def step(ev, W, y, X, null_arr=None):
         null = (

@@ -69,7 +69,6 @@ def manhattan_plot(
     own_fig = ax is None
     if own_fig:
         fig, ax = plt.subplots(figsize=(12, 4))
-    x = np.zeros_like(pos)
     offset = 0.0
     uniq = list(dict.fromkeys(chrom.tolist()))
     colors = ["#4C72B0", "#55A868"]
@@ -77,7 +76,6 @@ def manhattan_plot(
         sel = chrom == ch
         order = np.argsort(pos[sel])
         xs = offset + np.arange(sel.sum(), dtype=float)
-        x[np.nonzero(sel)[0][order]] = xs
         ax.scatter(xs, logp[sel][order], s=4, c=colors[i % 2], rasterized=True)
         offset += sel.sum()
     ax.axhline(thr, color="red", ls="--", lw=1)

@@ -58,11 +58,24 @@ class RunCheckpoint:
             return {k: z[k] for k in z.files}
 
     def completed_blocks(self) -> List[int]:
+        import re
+
         out = []
         for f in os.listdir(self.run_dir):
-            if f.startswith("block_") and f.endswith(".npz"):
-                out.append(int(f[len("block_"):-len(".npz")]))
+            m = re.fullmatch(r"block_(\d{12})\.npz", f)
+            if m:
+                out.append(int(m.group(1)))
         return sorted(out)
+
+    def clean_stale(self) -> None:
+        """Remove interrupted atomic-write temp files (crash between
+        np.savez and os.replace)."""
+        for f in os.listdir(self.run_dir):
+            if f.endswith(".tmp.npz"):
+                try:
+                    os.remove(os.path.join(self.run_dir, f))
+                except OSError:
+                    pass
 
     # --- metadata ----------------------------------------------------------
     def save_meta(self, meta: dict) -> None:

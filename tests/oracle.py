@@ -105,7 +105,11 @@ def loglik_ml(lam, ev, y, V):
 
 
 def newton_safeguarded(lam, d1f, d2f, lam_min, lam_max, rtol=1e-5, maxiter=100):
-    """Reference ``newton`` (pygemma_model.pyx:1349-1416) semantics."""
+    """Reference ``newton`` (pygemma_model.pyx:1349-1416) semantics.
+
+    Note: an out-of-bracket step BREAKS WITHOUT updating -- the reference's
+    clamp assigns a dead local and returns the previous iterate
+    (pyx:1398-1404)."""
     lam_root = lam
     for it in range(maxiter + 1):
         d1 = d1f(lam_root)
@@ -114,11 +118,7 @@ def newton_safeguarded(lam, d1f, d2f, lam_min, lam_max, rtol=1e-5, maxiter=100):
         if np.sign(ratio) * np.sign(d1) * np.sign(d2) <= 0.0:
             break
         lam_new = lam_root - ratio
-        if lam_new < lam_min:
-            lam_root = lam_min
-            break
-        if lam_new > lam_max:
-            lam_root = lam_max
+        if lam_new < lam_min or lam_new > lam_max:
             break
         if np.isnan(lam_new) or np.isinf(lam_new):
             break

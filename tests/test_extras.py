@@ -105,3 +105,33 @@ def test_batched_phenos_match_looped():
         np.testing.assert_allclose(df_b[col], df_l[col], rtol=1e-8,
                                    atol=1e-12, err_msg=col)
     assert list(df_b["pheno"].unique()) == [0, 1, 2]
+
+
+def test_compare_bridge_with_stub_binary(tmp_path, monkeypatch):
+    """Exercise the subprocess + assoc-parsing path with a stub 'gemma'."""
+    stub = tmp_path / "gemma"
+    stub.write_text(
+        "#!/bin/bash\n"
+        "# parse -outdir and -o\n"
+        "while [[ $# -gt 0 ]]; do\n"
+        "  case $1 in\n"
+        "    -outdir) OUT=$2; shift 2;;\n"
+        "    -o) NAME=$2; shift 2;;\n"
+        "    *) shift;;\n"
+        "  esac\n"
+        "done\n"
+        "printf 'chr\\trs\\tps\\tn_miss\\tallele1\\tallele0\\taf\\tbeta\\tse\\tlogl_H1\\tl_remle\\tp_wald\\n' > $OUT/$NAME.assoc.txt\n"
+        "printf -- '1\\trs0\\t1\\t0\\tA\\tT\\t0.3\\t0.5\\t0.1\\t-10\\t2.0\\t0.001\\n' >> $OUT/$NAME.assoc.txt\n"
+    )
+    stub.chmod(0o755)
+    monkeypatch.setenv("GEMMA", str(stub))
+
+    from pygemma_tpu import compare
+
+    rng = np.random.default_rng(1)
+    df = compare.run_gemma(rng.normal(size=6), rng.normal(size=(6, 1)), None,
+                           np.eye(6), workdir=str(tmp_path / "wd"))
+    assert df is not None and df["p_wald"].iloc[0] == 0.001
+    # BIMBAM inputs were written for the binary
+    assert (tmp_path / "wd" / "geno.txt").exists()
+    assert (tmp_path / "wd" / "kinship.txt").exists()

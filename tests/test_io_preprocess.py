@@ -190,3 +190,19 @@ def test_plotting_smoke(tmp_path, rng):
     qq_plot(df["p_wald"], save_path=str(tmp_path / "qq.png"))
     assert os.path.exists(tmp_path / "mh.png")
     assert os.path.exists(tmp_path / "qq.png")
+
+
+def test_pygemma_resume_rejects_changed_settings(tmp_path):
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    import oracle
+    import pytest as _pytest
+
+    from pygemma_tpu import GwasConfig, pygemma
+
+    y, G, W, K = oracle.simulate(n=60, p=6, c=1, seed=2)
+    cfg = GwasConfig(dtype="float64", snp_block=4)
+    rd = str(tmp_path / "ck")
+    pygemma(y, G, W, K, config=cfg, run_dir=rd)
+    with _pytest.raises(ValueError, match="different"):
+        pygemma(y, G, W, K, config=cfg, run_dir=rd, tests=("wald", "score"))
