@@ -135,3 +135,19 @@ def test_compare_bridge_with_stub_binary(tmp_path, monkeypatch):
     # BIMBAM inputs were written for the binary
     assert (tmp_path / "wd" / "geno.txt").exists()
     assert (tmp_path / "wd" / "kinship.txt").exists()
+
+
+def test_profiling_utils_smoke(capsys):
+    from pygemma_tpu.utils.profiling import StageTimer, host_profile
+
+    st = StageTimer()
+    with st.stage("a"):
+        sum(range(1000))
+    with st.stage("a"):
+        pass
+    assert "a:" in st.report()
+
+    with host_profile(top=3):
+        sorted(np.random.default_rng(0).normal(size=1000))
+    out = capsys.readouterr().out
+    assert "cumtime" in out or "function calls" in out
