@@ -106,3 +106,12 @@ def test_pygemma_driver_with_mesh(data):
     lp = -np.log10(np.maximum(df_mesh["p_wald"], 1e-300))
     ls = -np.log10(np.maximum(df_single["p_wald"], 1e-300))
     np.testing.assert_allclose(lp, ls, rtol=5e-2, atol=5e-2)
+
+
+def test_distributed_helpers_single_process():
+    from pygemma_tpu.parallel import distributed
+
+    distributed.initialize()  # no-op single process
+    x = jnp.arange(8.0)
+    out = distributed.gather_table({"beta": x})
+    np.testing.assert_allclose(out["beta"], np.arange(8.0))
