@@ -7,7 +7,7 @@ over device meshes.
 
 __version__ = "0.1.0"
 
-from . import io, linreg, plotting, preprocess, sim  # noqa: F401
+from . import compare, io, linreg, plotting, preprocess, sim  # noqa: F401
 from .api import estimate_lambda, pygemma
 from .config import GwasConfig, from_env
 

@@ -293,7 +293,7 @@ def _scan_phenos_looped(X, Y_dev, W_dev, ev_dev, U_dev, cfg, de, n, p, B, log,
             streamer = SnpBlockStreamer(X, B, dtype=dtype) \
                 if mesh is None else None
             stream_iter = iter(streamer) if streamer is not None else None
-            for start in range(0, p, B):
+            for start in log.track(range(0, p, B), "Testing SNPs..."):
                 stop = min(start + B, p)
                 m = stop - start
                 prefetched = next(stream_iter) if stream_iter is not None else None

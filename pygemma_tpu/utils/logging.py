@@ -39,3 +39,15 @@ class StageLogger:
             yield
         finally:
             self.log(f"[green]{name} - {round(time.time() - start, 3)} s")
+
+    def track(self, iterable, description: str = "", total=None):
+        """Progress bar over an iterable (reference rich.progress.track SNP
+        bar, lmm/lmm.py:395); plain pass-through when quiet."""
+        if self.verbose <= 0:
+            return iterable
+        try:
+            from rich.progress import track as _track
+
+            return _track(iterable, description=description, total=total)
+        except Exception:  # pragma: no cover
+            return iterable
