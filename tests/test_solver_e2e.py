@@ -157,3 +157,20 @@ def test_nan_containment():
     assert not np.isfinite(df["p_wald"][3]) or np.isnan(df["beta"][3])
     good = [i for i in range(8) if i != 3]
     assert np.isfinite(df["p_wald"][good]).all()
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303, 404])
+def test_lambda_parity_fuzz(seed):
+    """Randomized datasets: lambda and p-values track the oracle."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(60, 160))
+    c = int(rng.integers(1, 4))
+    y, G, W, K = oracle.simulate(n=n, p=6, c=c, seed=seed,
+                                 h2=float(rng.uniform(0.1, 0.7)))
+    df = pygemma(y, G, W, K, config=GwasConfig(dtype="float64", snp_block=6))
+    ev, U = np.linalg.eigh(K)
+    ev = np.maximum(ev, 0)
+    ref = oracle.assoc_scan(ev, U.T @ W, U.T @ y, U.T @ G)
+    np.testing.assert_allclose(df["lambda"], ref["lambda"], rtol=3e-3)
+    np.testing.assert_allclose(df["p_wald"], ref["p_wald"], rtol=5e-3,
+                               atol=1e-12)
