@@ -57,12 +57,25 @@ def cmd_run(args):
             Y = Y[:, [args.pheno_col]]
     else:
         Y = bimbam.read_pheno(args.pheno)
+
+    # drop individuals with missing phenotype BEFORE any transform
+    # (reference workload-layer behavior, e.g. ukb_afr/code/run_snp.py)
+    y_first = Y[:, 0] if Y.ndim > 1 else Y
+    keep = np.isfinite(np.asarray(y_first, dtype=np.float64))
+    if not keep.all():
+        print(f"dropping {int((~keep).sum())} individuals with missing "
+              f"phenotype", file=sys.stderr)
+        Y = Y[keep]
+        X = X[keep]
+
     if args.qnorm:
         Y = np.column_stack([pp.quantile_normalize(Y[:, i]) if Y.ndim > 1
                              else pp.quantile_normalize(Y)
                              for i in range(Y.shape[1] if Y.ndim > 1 else 1)])
 
     W = bimbam.read_matrix(args.covar) if args.covar else None
+    if W is not None and not keep.all():
+        W = np.asarray(W)[keep]
     if args.pcs:
         pcs = pp.pca_covariates(X, n_pcs=args.pcs)
         W = pcs if W is None else np.c_[W, pcs]

@@ -151,3 +151,26 @@ def test_profiling_utils_smoke(capsys):
         sorted(np.random.default_rng(0).normal(size=1000))
     out = capsys.readouterr().out
     assert "cumtime" in out or "function calls" in out
+
+
+def test_cli_drops_missing_phenotype(tmp_path):
+    """CLI filters NA-phenotype individuals before the scan."""
+    import pandas as pd
+
+    from pygemma_tpu.io import bimbam, plink
+
+    rng = np.random.default_rng(7)
+    n, p = 50, 12
+    X = rng.integers(0, 3, size=(n, p)).astype(np.float32)
+    y = rng.normal(size=n).astype(np.float32)
+    y[[3, 9]] = np.nan
+    prefix = str(tmp_path / "d")
+    plink.write_bed(prefix, X)
+    bimbam.write_pheno(str(tmp_path / "ph.txt"), y)
+
+    import pygemma_tpu.__main__ as cli
+
+    cli.main(["run", "--bfile", prefix, "--pheno", str(tmp_path / "ph.txt"),
+              "--drop-constant", "--out", str(tmp_path / "out.tsv")])
+    df = pd.read_csv(str(tmp_path / "out.tsv"), sep="\t")
+    assert len(df) <= p and np.isfinite(df["p_wald"]).mean() > 0.8
