@@ -84,15 +84,16 @@ def main():
     cfg = GwasConfig(snp_block=int(os.environ.get("PYGEMMA_BENCH_BLOCK", 4096)))
     B = cfg.snp_block
 
-    rot = jax.jit(lambda U, X: U.T @ X)
+    rot = jax.jit(lambda U, X: jnp.dot(
+        U.T, X, precision=jax.lax.Precision.HIGH))
 
     @jax.jit
     def step(ev, W_r, y_r, xr):
         res = assoc_block(ev, W_r, y_r, xr, cfg)
         return res.beta, res.se_beta, res.tau, res.lam, res.F_wald
 
-    W_r = U.T @ jnp.asarray(W)
-    y_r = U.T @ jnp.asarray(y)
+    W_r = rot(U, jnp.asarray(W))
+    y_r = rot(U, jnp.asarray(y)[:, None])[:, 0]
 
     def scan_once():
         Xr = rot(U, G_dev)  # rotation: one full GEMM

@@ -102,11 +102,11 @@ def _host_pvalues(res: dict, n: int, c: int, tests) -> None:
     """Recompute p-values on host in float64 with scipy for exact parity with
     the reference's ``stats.f.sf`` (lmm/lmm.py:482)."""
     df = n - c - 1
-    res["p_wald"] = stats.f.sf(np.float64(res["F_wald"]), 1, df)
+    res["p_wald"] = stats.f.sf(np.asarray(res["F_wald"], np.float64), 1, df)
     if "lrt" in tests:
-        res["p_lrt"] = stats.chi2.sf(np.float64(res.pop("D_lrt")), 1)
+        res["p_lrt"] = stats.chi2.sf(np.asarray(res.pop("D_lrt"), np.float64), 1)
     if "score" in tests:
-        res["p_score"] = stats.f.sf(np.float64(res.pop("F_score")), 1, df)
+        res["p_score"] = stats.f.sf(np.asarray(res.pop("F_score"), np.float64), 1, df)
 
 
 def pygemma(

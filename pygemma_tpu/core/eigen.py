@@ -33,13 +33,20 @@ def eigendecompose(K: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 @jax.jit
 def rotate(U: jnp.ndarray, M: jnp.ndarray) -> jnp.ndarray:
-    """Rotate columns of M into the eigenbasis: U' M (lmm/lmm.py:243-246)."""
-    return U.T @ M
+    """Rotate columns of M into the eigenbasis: U' M (lmm/lmm.py:243-246).
+
+    TPU XLA's default f32 matmul is a single bf16 MXU pass (~2^-8 operand
+    rounding) whose error lands directly on the rotated genotypes;
+    Precision.HIGH (bf16x3 split) restores ~2^-16 operand accuracy at a
+    third of HIGHEST's cost, and rotation is the largest GEMM in the scan.
+    """
+    return jnp.dot(U.T, M, precision=jax.lax.Precision.HIGH)
 
 
 def loading_transform(Z: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
     """Random-effect loading transform K <- Z K Z' (lmm/lmm.py:124-125)."""
-    return Z @ K @ Z.T
+    P = jax.lax.Precision.HIGHEST
+    return jnp.dot(jnp.dot(Z, K, precision=P), Z.T, precision=P)
 
 
 def host_eigendecompose(K, dtype=None) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -32,6 +32,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# TPU XLA lowers f32 dots to a single bf16 MXU pass by default (~2^-8
+# relative operand rounding) -- far too coarse for the cancellation-prone
+# REML scalars built from these Grams.  Every contraction below is small
+# next to the kernel work, so force full-precision accumulation.
+PRECISE = jax.lax.Precision.HIGHEST
+
+
+def pdot(a, b):
+    """f32-accurate matmul (Precision.HIGHEST; multi-pass bf16 on TPU)."""
+    return jnp.dot(a, b, precision=PRECISE)
+
 
 class GramSums(NamedTuple):
     """Per-SNP (or scalar, when lambda is shared) eigenvalue-weight sums.
@@ -115,9 +126,9 @@ def grams_shared_lambda(
     dk = d
     for k in range(1, max(ks) + 1):
         if k in ks:
-            S_k = unpack_sym(pairs.T @ dk, s)  # (s, s)
-            vS_k = v.T @ (dk[:, None] * shared)  # (B, s)
-            vv_k = v2.T @ dk  # (B,)
+            S_k = unpack_sym(pdot(pairs.T, dk), s)  # (s, s)
+            vS_k = pdot(v.T, dk[:, None] * shared)  # (B, s)
+            vv_k = pdot(v2.T, dk)  # (B,)
             grams.append(_assemble(S_k, vS_k, vv_k, B, s))
         dk = dk * d
     sums = GramSums(
@@ -158,12 +169,12 @@ def grams_shared_multi(
         dk = dk * d
     D = jnp.stack(dks, axis=1)  # (G, K, n)
 
-    S = jnp.einsum("gkn,nm->gkm", D, pairs)  # (G, K, m)
+    S = jnp.einsum("gkn,nm->gkm", D, pairs, precision=PRECISE)  # (G, K, m)
     # (n, G*K*s) weighted copies of the shared columns -> single GEMM with v
     C = (D[:, :, :, None] * shared[None, None, :, :]).transpose(2, 0, 1, 3)
     C = C.reshape(n, G * Kn * s)
-    vS = (v.T @ C).reshape(B, G, Kn, s)  # (B, G, K, s)
-    vv = (v2.T @ D.reshape(G * Kn, n).T).reshape(B, G, Kn)
+    vS = pdot(v.T, C).reshape(B, G, Kn, s)  # (B, G, K, s)
+    vv = pdot(v2.T, D.reshape(G * Kn, n).T).reshape(B, G, Kn)
 
     grams = []
     for ki in range(Kn):
@@ -207,9 +218,9 @@ def grams_per_snp_lambda(
     dk = d
     for k in range(1, max(ks) + 1):
         if k in ks:
-            S_k = unpack_sym(dk @ pairs, s)  # (B, s, s)
+            S_k = unpack_sym(pdot(dk, pairs), s)  # (B, s, s)
             zk = v * dk.T  # (n, B)
-            vS_k = zk.T @ shared  # (B, s)
+            vS_k = pdot(zk.T, shared)  # (B, s)
             vv_k = jnp.sum(v2 * dk.T, axis=0)  # (B,)
             grams.append(_assemble(S_k, vS_k, vv_k, B, s))
         dk = dk * d

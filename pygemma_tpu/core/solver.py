@@ -186,51 +186,114 @@ def solve_lambda(problem: LambdaProblem, cfg: GwasConfig):
     )  # (2, B)
     ep_liks = jnp.broadcast_to(ep_liks, (2, B))
 
-    # --- stages 3-5: all R root slots refined simultaneously.  Every eval
-    # takes a (B, R) lambda tensor; the fused kernel reads the genotype rows
-    # once for all slots.
-    lo, hi = lo0, hi0  # (B, R)
-    flo = sign_lo
+    # --- stages 3-5: root-slot refinement.  Every eval takes a (B, r) lambda
+    # tensor; the fused kernel reads the genotype rows once for all slots.
+    # Refinement cost scales with lanes x slots, but most SNPs contribute at
+    # most one sign-change bracket and many contribute none -- so dispatch on
+    # the total root count with lax.switch: the 0-root branch skips
+    # refinement entirely; when the block's roots fit in B lanes they are
+    # *compacted* (gathered) into a single-slot problem so dead lanes and
+    # dead slots cost nothing; only blocks with more than B roots pay for
+    # the full (B, R) slot grid.  Each branch computes exactly what the
+    # full-R path would for its live lanes, so results are bit-identical to
+    # the reference semantics.
+    def refine_body(problem, lo0_r, hi0_r, valid_r, flo):
+        """Bisection + Newton + likelihood for one slot layout (B, r)."""
 
-    def bisect_body(_, state):
-        # masked bisection (replaces brentq, pyx:176-182)
-        lo, hi = state
-        mid = 0.5 * (lo + hi)
-        sm = _sign(evaluate(problem, mid, "d1", False))
-        go_right = sm == flo  # root is in [mid, hi]
-        return jnp.where(go_right, mid, lo), jnp.where(go_right, hi, mid)
+        def bisect_body(_, state):
+            # masked bisection (replaces brentq, pyx:176-182)
+            lo, hi = state
+            mid = 0.5 * (lo + hi)
+            sm = _sign(evaluate(problem, mid, "d1", False))
+            go_right = sm == flo  # root is in [mid, hi]
+            return jnp.where(go_right, mid, lo), jnp.where(go_right, hi, mid)
 
-    lo, hi = jax.lax.fori_loop(0, cfg.bisect_iters, bisect_body, (lo, hi))
-    lam_r = 0.5 * (lo + hi)
+        lo, hi = jax.lax.fori_loop(
+            0, cfg.bisect_iters, bisect_body, (lo0_r, hi0_r)
+        )
+        lam_r = 0.5 * (lo + hi)
 
-    def newton_body(_, state):
-        # masked safeguarded Newton (pyx:1349-1416)
-        lam_r, done = state
-        d1, d2 = evaluate(problem, lam_r, "newton", False)
-        ratio = d1 / d2
-        # pyx:1392 -- stop without updating when the three-way sign product
-        # is <= 0 (covers d1==0, d2==0; NaN falls through to the NaN guard
-        # exactly as in the reference).
-        bad_sign = (jnp.sign(ratio) * jnp.sign(d1) * jnp.sign(d2)) <= 0
-        cand = lam_r - ratio
-        bad_num = jnp.isnan(cand) | jnp.isinf(cand)
-        # pyx:1398-1404 -- an out-of-bracket step BREAKS WITHOUT updating:
-        # the clamp assignment there is dead (lambda_root keeps the previous
-        # iterate), so out-of-bracket is just another stop condition here.
-        oob = (cand < lo0) | (cand > hi0)
-        rel = jnp.abs(cand - lam_r) / jnp.abs(lam_r)
-        do_upd = (~done) & (~bad_sign) & (~bad_num) & (~oob)
-        new_lam = jnp.where(do_upd, cand, lam_r)
-        newly_done = bad_sign | bad_num | oob | (rel < cfg.newton_rtol)
-        return new_lam, done | newly_done
+        def newton_cond(state):
+            # early exit once every lane has stopped -- updates are masked,
+            # so stopping early is bit-identical to running all iterations.
+            i, _, done = state
+            return (i < cfg.newton_iters) & ~jnp.all(done)
 
-    lam_r, _ = jax.lax.fori_loop(
-        0, cfg.newton_iters, newton_body, (lam_r, ~valid)
+        def newton_body(state):
+            # masked safeguarded Newton (pyx:1349-1416)
+            i, lam_r, done = state
+            d1, d2 = evaluate(problem, lam_r, "newton", False)
+            ratio = d1 / d2
+            # pyx:1392 -- stop without updating when the three-way sign
+            # product is <= 0 (covers d1==0, d2==0; NaN falls through to the
+            # NaN guard exactly as in the reference).
+            bad_sign = (jnp.sign(ratio) * jnp.sign(d1) * jnp.sign(d2)) <= 0
+            cand = lam_r - ratio
+            bad_num = jnp.isnan(cand) | jnp.isinf(cand)
+            # pyx:1398-1404 -- an out-of-bracket step BREAKS WITHOUT
+            # updating: the clamp assignment there is dead (lambda_root
+            # keeps the previous iterate), so out-of-bracket is just
+            # another stop condition here.
+            oob = (cand < lo0_r) | (cand > hi0_r)
+            rel = jnp.abs(cand - lam_r) / jnp.abs(lam_r)
+            do_upd = (~done) & (~bad_sign) & (~bad_num) & (~oob)
+            new_lam = jnp.where(do_upd, cand, lam_r)
+            newly_done = bad_sign | bad_num | oob | (rel < cfg.newton_rtol)
+            return i + 1, new_lam, done | newly_done
+
+        _, lam_r, _ = jax.lax.while_loop(
+            newton_cond, newton_body, (jnp.asarray(0), lam_r, ~valid_r)
+        )
+
+        # likelihood at the refined roots (pyx:186-188)
+        lik_r = evaluate(problem, lam_r, "lik", False)  # (B, r)
+        lik_r = jnp.where(valid_r, lik_r, -jnp.inf)
+        return lam_r, lik_r
+
+    def no_roots():
+        return (
+            jnp.ones((B, R), dtype),
+            jnp.full((B, R), -jnp.inf, dtype),
+        )
+
+    def refine_full():
+        return refine_body(problem, lo0, hi0, valid, sign_lo)
+
+    def refine_compacted():
+        # Gather every (snp, bracket) root problem into the first lanes of a
+        # single-slot (B, 1) problem.  Lane l of the compacted problem works
+        # on SNP sel[l] // R, bracket slot sel[l] % R; lanes past the last
+        # root are masked invalid (their Newton state starts "done" and
+        # their likelihood is forced to -inf), so compaction only changes
+        # *where* each root is computed, not *what* is computed.
+        flat_valid = valid.reshape(-1)  # (B * R,) SNP-major
+        sel = jnp.argsort(~flat_valid, stable=True)[:B]  # roots first
+        snp_idx = sel // R
+        valid_c = flat_valid[sel][:, None]  # (B, 1)
+        lo0_c = lo0.reshape(-1)[sel][:, None]
+        hi0_c = hi0.reshape(-1)[sel][:, None]
+        flo_c = sign_lo.reshape(-1)[sel][:, None]
+        if problem.vT is not None:
+            prob_c = problem._replace(vT=problem.vT[snp_idx])
+        else:
+            prob_c = problem._replace(
+                v=problem.v[:, snp_idx], v2=problem.v2[:, snp_idx]
+            )
+        lam_c, lik_c = refine_body(prob_c, lo0_c, hi0_c, valid_c, flo_c)
+        # Scatter back to the (B, R) slot grid; untouched slots keep
+        # lambda = 1 and likelihood = -inf, exactly as invalid slots do in
+        # the full path.
+        lam_r = jnp.ones((B * R,), dtype).at[sel].set(lam_c[:, 0])
+        lik_r = jnp.full((B * R,), -jnp.inf, dtype).at[sel].set(lik_c[:, 0])
+        return lam_r.reshape(B, R), lik_r.reshape(B, R)
+
+    total_roots = jnp.sum(sc)
+    branch_idx = jnp.where(
+        total_roots == 0, 0, jnp.where(total_roots <= B, 1, 2)
+    ).astype(jnp.int32)
+    lam_r, lik_r = jax.lax.switch(
+        branch_idx, [no_roots, refine_compacted, refine_full]
     )
-
-    # likelihood at the refined roots (pyx:186-188)
-    lik_r = evaluate(problem, lam_r, "lik", False)  # (B, R)
-    lik_r = jnp.where(valid, lik_r, -jnp.inf)
 
     # candidate order: endpoints first (low wins ties), then roots in
     # bracket order -- matches the reference's strict-improvement scan.

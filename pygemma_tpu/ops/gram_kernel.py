@@ -45,6 +45,29 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _split_bf16(a):
+    """Split an f32 operand into (hi, lo) bfloat16 parts with a ~= hi + lo."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot3(a_hi, a_lo, b_hi, b_lo):
+    """Split-precision matmul: 3 bf16 MXU passes with f32 accumulation.
+
+    Mosaic lowers a plain f32 ``jnp.dot`` to a SINGLE bf16 MXU pass on this
+    hardware (verified empirically: explicit bf16 casts are bit-identical to
+    the f32 dot), which costs ~2^-8 relative error -- far too coarse for the
+    cancellation-prone REML scalars.  The classic bf16x3 split recovers
+    ~2^-16 operand precision for ~3x the MXU work; the kernel is nowhere
+    near MXU-bound, so this is almost free.
+    """
+    acc = jnp.dot(a_hi, b_hi, preferred_element_type=jnp.float32)
+    acc += jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32)
+    acc += jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32)
+    return acc
+
+
 def _kernel(lam_ref, ev_ref, pairs_ref, shared_ref, vT_ref, out_ref,
             *, R: int, kmax: int, mp: int, sp: int, want_logh: bool,
             stride: int):
@@ -59,6 +82,9 @@ def _kernel(lam_ref, ev_ref, pairs_ref, shared_ref, vT_ref, out_ref,
     vT2 = vT * vT
     pairs = pairs_ref[:]  # (n_tile, mp)
     shared = shared_ref[:]  # (n_tile, sp)
+    # loop-invariant split-precision halves of the right operands
+    pairs_hi, pairs_lo = _split_bf16(pairs)
+    shared_hi, shared_lo = _split_bf16(shared)
 
     for r in range(R):
         lam_r = lam_ref[:, r:r + 1]  # (B_tile, 1)
@@ -67,13 +93,14 @@ def _kernel(lam_ref, ev_ref, pairs_ref, shared_ref, vT_ref, out_ref,
         base = r * stride
         dk = d
         for k in range(kmax):
-            out_ref[:, base + k * mp:base + (k + 1) * mp] += jnp.dot(
-                dk, pairs, preferred_element_type=jnp.float32
+            dk_hi, dk_lo = _split_bf16(dk)
+            out_ref[:, base + k * mp:base + (k + 1) * mp] += _dot3(
+                dk_hi, dk_lo, pairs_hi, pairs_lo
             )
-            z = dk * vT
+            z_hi, z_lo = _split_bf16(dk * vT)
             off = base + kmax * mp + k * sp
-            out_ref[:, off:off + sp] += jnp.dot(
-                z, shared, preferred_element_type=jnp.float32
+            out_ref[:, off:off + sp] += _dot3(
+                z_hi, z_lo, shared_hi, shared_lo
             )
             vv = jnp.sum(dk * vT2, axis=1, keepdims=True)
             off = base + kmax * (mp + sp) + k
@@ -82,8 +109,14 @@ def _kernel(lam_ref, ev_ref, pairs_ref, shared_ref, vT_ref, out_ref,
                 dk = dk * d
         if want_logh:
             ones_col = pairs[:, mp - 1:mp]  # zero on padded rows
-            slh = jnp.dot(jnp.log(h), ones_col,
+            # ones/zeros are exact in bf16, so splitting only log(h) keeps
+            # the logdet(H) accumulation at ~f32 accuracy (2 MXU passes).
+            lh_hi, lh_lo = _split_bf16(jnp.log(h))
+            ones_hi = ones_col.astype(jnp.bfloat16)
+            slh = jnp.dot(lh_hi, ones_hi,
                           preferred_element_type=jnp.float32)
+            slh += jnp.dot(lh_lo, ones_hi,
+                           preferred_element_type=jnp.float32)
             off = base + kmax * (mp + sp) + kmax
             out_ref[:, off:off + 1] += slh
 

@@ -73,7 +73,7 @@ def sharded_rotate_fn(mesh: Mesh, cfg: GwasConfig):
     xsh = snp_sharding(mesh, cfg.snp_axis)
 
     def rot(U, X):
-        return U.T @ X
+        return jnp.dot(U.T, X, precision=jax.lax.Precision.HIGH)
 
     return jax.jit(rot, in_shardings=(rep, xsh), out_shardings=xsh)
 

@@ -36,12 +36,14 @@ def test_fused_matches_xla(n, B, c, want_logh):
             jnp.asarray(lam), jnp.asarray(ev), shared, pairs,
             jnp.asarray(X.T), (1, 2, 3), want_logh=want_logh,
         )
-    # fp32 with different summation order (tiled vs single reduction);
-    # tolerance covers reassociation noise only.
+    # The kernel computes its dots in split bf16x3 precision (~2^-16
+    # operand rounding, f32 accumulation); error scales with the magnitude
+    # of the summands, so compare with a norm-scaled atol.
     for k in range(3):
+        ref_k = np.asarray(grams_ref[k])
         np.testing.assert_allclose(
-            np.asarray(grams_f[k]), np.asarray(grams_ref[k]),
-            rtol=2e-4, atol=1e-5,
+            np.asarray(grams_f[k]), ref_k,
+            rtol=2e-4, atol=3e-4 * np.abs(ref_k).max(),
         )
     np.testing.assert_allclose(sums_f.sum_d, sums_ref.sum_d, rtol=1e-5)
     np.testing.assert_allclose(sums_f.sum_d2, sums_ref.sum_d2, rtol=1e-5)
@@ -77,8 +79,9 @@ def test_fused_multi_slot_matches_single(rng=None):
             jnp.asarray(X.T), (1, 2, 3), want_logh=True,
         )
     for k in range(3):
-        np.testing.assert_allclose(np.asarray(g_f[k]), np.asarray(g_ref[k]),
-                                   rtol=2e-4, atol=1e-5)
+        ref_k = np.asarray(g_ref[k])
+        np.testing.assert_allclose(np.asarray(g_f[k]), ref_k,
+                                   rtol=2e-4, atol=3e-4 * np.abs(ref_k).max())
     np.testing.assert_allclose(s_f.sum_d, s_ref.sum_d, rtol=1e-5)
     np.testing.assert_allclose(s_f.sum_logh, s_ref.sum_logh, rtol=1e-5,
                                atol=1e-5)
