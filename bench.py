@@ -95,15 +95,18 @@ def main():
     W_r = rot(U, jnp.asarray(W))
     y_r = rot(U, jnp.asarray(y)[:, None])[:, 0]
 
+    fin = jax.jit(lambda b: jnp.isfinite(b).sum())
+
     def scan_once():
+        # Fully async dispatch: a device->host synchronization through the
+        # tunnel costs ~34 ms, so reduce per-block results on device and pull
+        # ONE scalar at the end.
         Xr = rot(U, G_dev)  # rotation: one full GEMM
-        nfin = 0
-        out = None
+        counts = []
         for s in range(0, p, B):
             out = step(ev, W_r, y_r, jax.lax.dynamic_slice_in_dim(Xr, s, B, 1))
-            nfin += int(np.isfinite(np.asarray(out[0])).sum())
-        jax.block_until_ready(out)
-        return nfin
+            counts.append(fin(out[0]))
+        return int(sum(int(c) for c in jax.device_get(counts)))
 
     # warmup pass: compiles every shape and absorbs the one-time
     # first-materialization penalty tunneled backends charge per executable

@@ -20,6 +20,7 @@ from ..config import GwasConfig, MIN_VAL
 from . import reml
 from .grams import (
     grams_per_snp_lambda,
+    grams_per_snp_lambda_fused,
     grams_shared_lambda,
     pair_products,
     permute_x_before_y,
@@ -107,19 +108,24 @@ def assoc_block(
     shared = jnp.concatenate([W, y[:, None]], axis=1)  # (n, c+1): [W, y]
     pairs = pair_products(shared)
     X2 = X * X
-    XT = X.T if _use_fused(cfg, dtype) else None
+    fused = _use_fused(cfg, dtype)
 
     # Lambda optimization with the full design.  Standard: design [W, x]
     # (permuted Gram order [W, x, y]); DE: design [W, y], outcome x.
     prob = LambdaProblem(
-        ev, shared, pairs, X, X2, n, c + 1, not de, True, XT
+        ev, shared, pairs, X, X2, n, c + 1, not de, True, fused
     )
     lam_star, _ = solve_lambda(prob, cfg)
 
     # Final statistics at lambda*: one k=1 Gram build.
-    grams, sums = grams_per_snp_lambda(
-        lam_star, ev, shared, pairs, X, X2, (1,), want_logh=False
-    )
+    if fused:
+        grams, sums = grams_per_snp_lambda_fused(
+            lam_star, ev, shared, pairs, X, (1,), want_logh=False
+        )
+    else:
+        grams, sums = grams_per_snp_lambda(
+            lam_star, ev, shared, pairs, X, X2, (1,), want_logh=False
+        )
     A1 = grams[0]
     if not de:
         A1 = permute_x_before_y(A1, c)
@@ -142,7 +148,7 @@ def assoc_block(
     if "lrt" in cfg.tests:
         # GEMMA -lmm 2: ML lambda per SNP, D = 2(l1 - l0), chi^2(1).
         prob_ml = LambdaProblem(
-            ev, shared, pairs, X, X2, n, c + 1, not de, False, XT
+            ev, shared, pairs, X, X2, n, c + 1, not de, False, fused
         )
         lam_ml, logl_H1 = solve_lambda(prob_ml, cfg)
         assert null is not None, "LRT requires a null-model fit"

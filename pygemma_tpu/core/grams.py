@@ -34,13 +34,14 @@ import numpy as np
 
 # TPU XLA lowers f32 dots to a single bf16 MXU pass by default (~2^-8
 # relative operand rounding) -- far too coarse for the cancellation-prone
-# REML scalars built from these Grams.  Every contraction below is small
-# next to the kernel work, so force full-precision accumulation.
-PRECISE = jax.lax.Precision.HIGHEST
+# REML scalars built from these Grams.  Precision.HIGH (bf16x3 split)
+# restores ~2^-16 operand accuracy -- the same contract as the fused Pallas
+# kernel -- at half the cost of HIGHEST.
+PRECISE = jax.lax.Precision.HIGH
 
 
 def pdot(a, b):
-    """f32-accurate matmul (Precision.HIGHEST; multi-pass bf16 on TPU)."""
+    """f32-accurate matmul (Precision.HIGH; 3-pass bf16 split on TPU)."""
     return jnp.dot(a, b, precision=PRECISE)
 
 
@@ -239,15 +240,15 @@ def grams_per_snp_lambda_fused(
     ev: jnp.ndarray,  # (n,)
     shared: jnp.ndarray,  # (n, s)
     pairs: jnp.ndarray,  # (n, m)
-    vT: jnp.ndarray,  # (B, n) transposed per-SNP columns
+    v: jnp.ndarray,  # (n, B) per-SNP columns (natural genotype layout)
     ks: Sequence[int],
     want_logh: bool = False,
 ) -> Tuple[Tuple[jnp.ndarray, ...], GramSums]:
     """Pallas-fused variant of :func:`grams_per_snp_lambda` (TPU only).
 
-    Same numerical contract; the (B, n) weight matrices never touch HBM
+    Same numerical contract; the (n, B) weight matrices never touch HBM
     (see pygemma_tpu/ops/gram_kernel.py).  With a 2-D ``lam`` all R slots
-    share one pass over the genotype rows; Gram tensors come back with a
+    share one pass over the genotype columns; Gram tensors come back with a
     slot axis: (B, R, s+1, s+1).
     """
     from ..ops.gram_kernel import fused_grams
@@ -255,7 +256,7 @@ def grams_per_snp_lambda_fused(
     n, s = shared.shape
     kmax = max(ks)
     S, vS, vv, sum_d, sum_d2, sum_logh = fused_grams(
-        lam, ev, pairs, shared, vT, kmax, want_logh
+        lam, ev, pairs, shared, v, kmax, want_logh
     )
     grams = []
     for k in ks:

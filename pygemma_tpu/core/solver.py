@@ -47,8 +47,8 @@ class LambdaProblem(NamedTuple):
     the projection removes; with ``permute=True`` the design is
     [shared[:, :q-1], v] (standard GWAS: shared=[W, y], v=x, design=[W, x]);
     with ``permute=False`` it is shared[:, :q] (null model / DE mode).
-    ``restricted`` selects REML vs ML.  ``vT`` (B, n), when not None, enables
-    the Pallas fused Gram kernel for per-SNP-lambda evaluations (TPU only).
+    ``restricted`` selects REML vs ML.  ``fused=True`` routes per-SNP-lambda
+    evaluations through the Pallas fused Gram kernel (TPU only).
     """
 
     ev: jnp.ndarray
@@ -60,7 +60,7 @@ class LambdaProblem(NamedTuple):
     q: int
     permute: bool
     restricted: bool
-    vT: Optional[jnp.ndarray] = None
+    fused: bool = False
 
 
 _KS = {"d1": (1, 2), "newton": (1, 2, 3), "lik": (1,)}
@@ -86,9 +86,9 @@ def evaluate(problem: LambdaProblem, lam, need: str, shared_lam):
             lam, problem.ev, problem.shared, problem.pairs, problem.v,
             problem.v2, ks, want_logh=want_logh,
         )
-    elif problem.vT is not None:
+    elif problem.fused:
         grams, sums = grams_per_snp_lambda_fused(
-            lam, problem.ev, problem.shared, problem.pairs, problem.vT,
+            lam, problem.ev, problem.shared, problem.pairs, problem.v,
             ks, want_logh=want_logh,
         )
     elif lam.ndim == 2:
@@ -273,12 +273,9 @@ def solve_lambda(problem: LambdaProblem, cfg: GwasConfig):
         lo0_c = lo0.reshape(-1)[sel][:, None]
         hi0_c = hi0.reshape(-1)[sel][:, None]
         flo_c = sign_lo.reshape(-1)[sel][:, None]
-        if problem.vT is not None:
-            prob_c = problem._replace(vT=problem.vT[snp_idx])
-        else:
-            prob_c = problem._replace(
-                v=problem.v[:, snp_idx], v2=problem.v2[:, snp_idx]
-            )
+        prob_c = problem._replace(
+            v=problem.v[:, snp_idx], v2=problem.v2[:, snp_idx]
+        )
         lam_c, lik_c = refine_body(prob_c, lo0_c, hi0_c, valid_c, flo_c)
         # Scatter back to the (B, R) slot grid; untouched slots keep
         # lambda = 1 and likelihood = -inf, exactly as invalid slots do in

@@ -34,7 +34,7 @@ def test_fused_matches_xla(n, B, c, want_logh):
     with pltpu.force_tpu_interpret_mode():
         grams_f, sums_f = grams_per_snp_lambda_fused(
             jnp.asarray(lam), jnp.asarray(ev), shared, pairs,
-            jnp.asarray(X.T), (1, 2, 3), want_logh=want_logh,
+            jnp.asarray(X), (1, 2, 3), want_logh=want_logh,
         )
     # The kernel computes its dots in split bf16x3 precision (~2^-16
     # operand rounding, f32 accumulation); error scales with the magnitude
@@ -76,7 +76,7 @@ def test_fused_multi_slot_matches_single(rng=None):
     with pltpu.force_tpu_interpret_mode():
         g_f, s_f = grams_per_snp_lambda_fused(
             jnp.asarray(lam2), jnp.asarray(ev), shared, pairs,
-            jnp.asarray(X.T), (1, 2, 3), want_logh=True,
+            jnp.asarray(X), (1, 2, 3), want_logh=True,
         )
     for k in range(3):
         ref_k = np.asarray(g_ref[k])
