@@ -174,3 +174,38 @@ def test_lambda_parity_fuzz(seed):
     np.testing.assert_allclose(df["lambda"], ref["lambda"], rtol=3e-3)
     np.testing.assert_allclose(df["p_wald"], ref["p_wald"], rtol=5e-3,
                                atol=1e-12)
+
+
+def test_solver_branch_parity():
+    """The data-dependent refinement branches (compacted single-slot vs full
+    (B, R) slot grid, lax.switch in solve_lambda) must agree exactly.
+
+    A block whose total sign-change-bracket count exceeds B takes the full
+    path; padding the same block with no-root lanes drops it under B and
+    takes the compacted path.  The shared lanes must produce identical
+    lambdas -- compaction only changes where each root is refined.
+    """
+    y, G, W, K = oracle.simulate(n=150, p=12, c=2, seed=23)
+    ev, U = np.linalg.eigh(K)
+    ev = np.maximum(ev, 0.0)
+    Wr, yr, Xr = U.T @ W, U.T @ y, U.T @ G
+    n, c = Wr.shape
+    shared = jnp.asarray(np.c_[Wr, yr])
+    pairs = pair_products(shared)
+
+    v = jnp.asarray(Xr)
+    prob = LambdaProblem(jnp.asarray(ev), shared, pairs, v, v * v, n, c + 1,
+                         True, True)
+    lam_small, lik_small = solve_lambda(prob, CFG64)
+
+    # pad with constant columns (zero after centering -> no refinable root)
+    pad = np.zeros((n, 40), dtype=Xr.dtype)
+    v2b = jnp.asarray(np.c_[Xr, pad])
+    prob_b = LambdaProblem(jnp.asarray(ev), shared, pairs, v2b, v2b * v2b,
+                           n, c + 1, True, True)
+    lam_big, lik_big = solve_lambda(prob_b, CFG64)
+
+    np.testing.assert_allclose(np.asarray(lam_big)[:12],
+                               np.asarray(lam_small), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(lik_big)[:12],
+                               np.asarray(lik_small), rtol=1e-12)
