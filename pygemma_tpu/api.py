@@ -55,15 +55,31 @@ def _enable_compile_cache() -> None:
         pass
 
 
+def _result_keys(cfg) -> list:
+    """Device-result rows of a stacked association block, in static order."""
+    keys = ["beta", "se_beta", "tau", "lam", "F_wald"]
+    if "lrt" in cfg.tests:
+        keys += ["lambda_ml", "logl_H1"]
+    if "score" in cfg.tests:
+        keys += ["F_score"]
+    return keys
+
+
 @partial(jax.jit, static_argnames=("cfg", "de"))
 def _assoc_block_jit(ev, W, y, Xblock, cfg, null_arr, de):
+    """One SNP block -> a single stacked (n_keys, B) array.
+
+    Stacking on device matters on tunneled backends: every separate
+    device->host pull is a full synchronization round trip, so the driver
+    fetches ONE buffer per block (or defers the fetch entirely)."""
     null = (
         NullFit(null_arr[0], null_arr[1], null_arr[2])
         if null_arr is not None
         else None
     )
     res = assoc_block(ev, W, y, Xblock, cfg, null=null, de=de)
-    return {k: v for k, v in res._asdict().items() if v is not None}
+    d = res._asdict()
+    return jnp.stack([d[k] for k in _result_keys(cfg)])
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -283,6 +299,35 @@ def _scan_phenos_looped(X, Y_dev, W_dev, ev_dev, U_dev, cfg, de, n, p, B, log,
         if "score" in cfg.tests:
             cols["F_score"] = []
 
+        keys = _result_keys(cfg)
+        null_ml = float(null_arr[2]) if null_arr is not None else None
+
+        def block_to_cols(stacked: np.ndarray, m: int) -> dict:
+            """(n_keys, B) host array -> output-column dict for one block."""
+            d = dict(zip(keys, stacked))
+            blk = {
+                "beta": d["beta"][:m],
+                "se_beta": d["se_beta"][:m],
+                "tau": d["tau"][:m],
+                "lambda": d["lam"][:m],
+                "F_wald": d["F_wald"][:m],
+            }
+            if "lrt" in cfg.tests:
+                blk["lambda_ml"] = d["lambda_ml"][:m]
+                blk["logl_H1"] = d["logl_H1"][:m]
+                blk["D_lrt"] = 2.0 * (
+                    d["logl_H1"][:m].astype(np.float64) - null_ml
+                )
+            if "score" in cfg.tests:
+                blk["F_score"] = d["F_score"][:m]
+            return blk
+
+        # Without a checkpoint directory the loop only *dispatches*: device
+        # results are pulled after the last block so no host<->device sync
+        # sits between blocks (each sync costs ~34 ms on tunneled backends).
+        # With run_dir, blocks are materialized eagerly for durability.
+        pending = []  # (m, stacked device array) when deferring
+
         with log.stage(f"association scan ({p} SNPs, n={n})"):
             # double-buffered host->device streaming: slice/pad/transfer of
             # block b+1 overlaps device compute on block b
@@ -317,31 +362,27 @@ def _scan_phenos_looped(X, Y_dev, W_dev, ev_dev, U_dev, cfg, de, n, p, B, log,
                         if null_arr is not None:
                             args = args + (null_arr,)
                         res = assoc_fn(*args)
+                    stacked = np.stack(
+                        [np.asarray(res[k]) for k in keys]
+                    )
                 else:
                     xb_dev = jnp.asarray(xb)
                     if U_dev is not None:
                         xb_dev = rotate(U_dev, xb_dev)
-                    res = _assoc_block_jit(
+                    stacked = _assoc_block_jit(
                         ev_dev, W_dev, y_dev, xb_dev, cfg, null_arr, de
                     )
-                blk = {
-                    "beta": np.asarray(res["beta"][:m]),
-                    "se_beta": np.asarray(res["se_beta"][:m]),
-                    "tau": np.asarray(res["tau"][:m]),
-                    "lambda": np.asarray(res["lam"][:m]),
-                    "F_wald": np.asarray(res["F_wald"][:m]),
-                }
-                if "lrt" in cfg.tests:
-                    null_ml = float(null_arr[2])
-                    blk["lambda_ml"] = np.asarray(res["lambda_ml"][:m])
-                    blk["logl_H1"] = np.asarray(res["logl_H1"][:m])
-                    blk["D_lrt"] = 2.0 * (
-                        np.asarray(res["logl_H1"][:m], np.float64) - null_ml
-                    )
-                if "score" in cfg.tests:
-                    blk["F_score"] = np.asarray(res["F_score"][:m])
+                    if ckpt is None:
+                        pending.append((m, stacked))
+                        continue
+                blk = block_to_cols(np.asarray(stacked), m)
                 if ckpt is not None:
                     ckpt.save_block(ph * p + start, blk)
+                for k in cols:
+                    cols[k].append(blk[k])
+
+            for m, stacked in pending:
+                blk = block_to_cols(np.asarray(stacked), m)
                 for k in cols:
                     cols[k].append(blk[k])
 
