@@ -402,10 +402,12 @@ def _scan_phenos_looped(X, Y_dev, W_dev, ev_dev, U_dev, cfg, de, n, p, B, log,
 
 @partial(jax.jit, static_argnames=("cfg", "de", "with_null"))
 def _assoc_multi_jit(ev, W, Y_kn, Xblock, cfg, null_stack, de, with_null):
-    return assoc_mod.assoc_block_multi(
+    res = assoc_mod.assoc_block_multi(
         ev, W, Y_kn, Xblock, cfg,
         null_stack=null_stack if with_null else None, de=de,
     )
+    # one stacked (n_keys, k, B) buffer per block (see _assoc_block_jit)
+    return jnp.stack([res[k] for k in _result_keys(cfg)])
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -427,11 +429,7 @@ def _scan_phenos_batched(X, Y_dev, W_dev, ev_dev, U_dev, cfg, de, n, p, log):
         with log.stage(f"null-model fits ({n_pheno} phenotypes)"):
             null_stack = _fit_null_multi_jit(ev_dev, W_dev, Y_kn, cfg)
 
-    keys = ["beta", "se_beta", "tau", "lam", "F_wald"]
-    if "lrt" in cfg.tests:
-        keys += ["lambda_ml", "logl_H1"]
-    if "score" in cfg.tests:
-        keys += ["F_score"]
+    keys = _result_keys(cfg)
     cols = {k: [] for k in keys}
 
     with log.stage(
@@ -439,15 +437,18 @@ def _scan_phenos_batched(X, Y_dev, W_dev, ev_dev, U_dev, cfg, de, n, p, log):
     ):
         from .io.streaming import SnpBlockStreamer
 
+        pending = []  # dispatch-only loop; pull everything afterwards
         for start, stop, xb_dev in SnpBlockStreamer(X, B, dtype=X.dtype):
-            m = stop - start
             if U_dev is not None:
                 xb_dev = rotate(jnp.asarray(U_dev), xb_dev)
-            res = _assoc_multi_jit(
+            stacked = _assoc_multi_jit(
                 ev_dev, W_dev, Y_kn, xb_dev, cfg, null_stack, de, with_null
             )
-            for k in keys:
-                cols[k].append(np.asarray(res[k][:, :m]))  # (k, m)
+            pending.append((stop - start, stacked))
+        for m, stacked in pending:
+            host = np.asarray(stacked)  # (n_keys, k, B)
+            for i, k in enumerate(keys):
+                cols[k].append(host[i, :, :m])  # (k, m)
 
     full = {k: np.concatenate(v, axis=1) for k, v in cols.items()}  # (k, p)
     frames = []
