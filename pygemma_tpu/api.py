@@ -419,8 +419,14 @@ def _scan_phenos_batched(X, Y_dev, W_dev, ev_dev, U_dev, cfg, de, n, p, log):
     """All phenotypes per block in one vmapped executable (k, B)."""
     n_pheno = Y_dev.shape[1]
     c = W_dev.shape[1]
-    # shrink the block so the (k, B, n) weight temporaries stay bounded
-    B = max(128, min(cfg.snp_block, max(p, 1)) // n_pheno)
+    if (n_pheno <= assoc_mod._MULTI_UNROLL
+            and assoc_mod._use_fused(cfg, np.dtype(cfg.dtype))):
+        # trace-time-unrolled phenotypes keep the fused kernel: no (k, B, n)
+        # weight temporaries, so the block stays full-width
+        B = min(cfg.snp_block, max(p, 1))
+    else:
+        # shrink the block so the (k, B, n) weight temporaries stay bounded
+        B = max(128, min(cfg.snp_block, max(p, 1)) // n_pheno)
     Y_kn = jnp.asarray(Y_dev).T  # (k, n)
 
     with_null = ("lrt" in cfg.tests) or ("score" in cfg.tests)

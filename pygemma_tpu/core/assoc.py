@@ -28,6 +28,11 @@ from .grams import (
 from .solver import LambdaProblem, solve_lambda
 
 
+#: phenotype batches up to this size are trace-time-unrolled (keeping the
+#: fused kernel) instead of vmapped; beyond it compile time would balloon
+_MULTI_UNROLL = 12
+
+
 def _use_fused(cfg: GwasConfig, dtype) -> bool:
     """Resolve the fused-kernel switch at trace time."""
     if cfg.use_fused_kernel is not None:
@@ -195,15 +200,34 @@ def assoc_block_multi(
     null_stack: Optional[jnp.ndarray] = None,  # (k, 3) stacked NullFit rows
     de: bool = False,
 ):
-    """Vectorize the association block over phenotypes with ``vmap``.
+    """Vectorize the association block over phenotypes.
 
     One compiled executable scans every phenotype against the block -- the
     TPU answer to the reference's per-gene SLURM array
-    (experiments/1000G/run_pyGEMMA.sh:43-52).  The fused Pallas kernel is
-    disabled under vmap (the XLA path batches cleanly); callers should
-    shrink the SNP block by ~k to keep the (k, B, n) weight temps in HBM.
-    Returns a dict of (k, B) arrays.
+    (experiments/1000G/run_pyGEMMA.sh:43-52).  Small phenotype batches
+    (k <= _MULTI_UNROLL) are unrolled as a Python loop at trace time so each
+    phenotype keeps the fused Pallas kernel (Pallas has no vmap batching
+    rule); larger batches fall back to a vmapped XLA path, where callers
+    should shrink the SNP block by ~k to keep the (k, B, n) weight temps in
+    HBM.  Returns a dict of (k, B) arrays.
     """
+    k_pheno = Y_kn.shape[0]
+    if k_pheno <= _MULTI_UNROLL and _use_fused(cfg, X.dtype):
+        outs = []
+        for g in range(k_pheno):
+            null = None
+            if null_stack is not None:
+                null = NullFit(
+                    null_stack[g, 0], null_stack[g, 1], null_stack[g, 2]
+                )
+            res = assoc_block(ev, W, Y_kn[g], X, cfg, null=null, de=de)
+            outs.append(
+                {k: v for k, v in res._asdict().items() if v is not None}
+            )
+        return {
+            k: jnp.stack([o[k] for o in outs]) for k in outs[0]
+        }
+
     cfg_v = cfg.replace(use_fused_kernel=False)
 
     if null_stack is not None:

@@ -85,3 +85,35 @@ def test_fused_multi_slot_matches_single(rng=None):
     np.testing.assert_allclose(s_f.sum_d, s_ref.sum_d, rtol=1e-5)
     np.testing.assert_allclose(s_f.sum_logh, s_ref.sum_logh, rtol=1e-5,
                                atol=1e-5)
+
+
+def test_multi_phenotype_unrolled_fused_matches_vmap():
+    """assoc_block_multi's trace-time-unrolled fused path (k <= _MULTI_UNROLL)
+    must match the vmapped XLA path."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from pygemma_tpu.config import GwasConfig
+    from pygemma_tpu.core import assoc
+
+    rng = np.random.default_rng(7)
+    n, B, c, k = 120, 12, 2, 3
+    ev = np.abs(rng.normal(size=n)).astype(np.float32)
+    W = np.c_[np.ones(n), rng.normal(size=(n, c - 1))].astype(np.float32)
+    Y = rng.normal(size=(k, n)).astype(np.float32)
+    X = rng.normal(size=(n, B)).astype(np.float32)
+    cfg = GwasConfig(snp_block=B)
+
+    ref = assoc.assoc_block_multi(
+        jnp.asarray(ev), jnp.asarray(W), jnp.asarray(Y), jnp.asarray(X),
+        cfg.replace(use_fused_kernel=False),
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = assoc.assoc_block_multi(
+            jnp.asarray(ev), jnp.asarray(W), jnp.asarray(Y), jnp.asarray(X),
+            cfg.replace(use_fused_kernel=True),
+        )
+    assert set(got) == set(ref)
+    for key in ("beta", "se_beta", "lam", "F_wald"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(ref[key]), rtol=2e-3, atol=1e-6
+        )
