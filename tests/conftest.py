@@ -23,7 +23,36 @@ jax.config.update("jax_enable_x64", True)
 
 sys.path.insert(0, os.path.dirname(__file__))
 
+import signal  # noqa: E402
+
 import pytest  # noqa: E402
+
+# Per-test wall-clock guard so a hang can never ship again (round-1 shipped a
+# test that blocked the suite indefinitely).  SIGALRM fires on the main
+# thread; it interrupts Python-level work (incl. Pallas interpret mode) and
+# any compile that returns control to Python between XLA calls.  Override
+# with PYGEMMA_TPU_TEST_TIMEOUT=0 to disable (e.g. when debugging under pdb).
+_TEST_TIMEOUT = int(os.environ.get("PYGEMMA_TPU_TEST_TIMEOUT", "600"))
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_call(item):
+    if _TEST_TIMEOUT <= 0 or not hasattr(signal, "SIGALRM"):
+        yield
+        return
+
+    def _on_timeout(signum, frame):
+        raise TimeoutError(
+            f"{item.nodeid} exceeded the {_TEST_TIMEOUT}s per-test timeout"
+        )
+
+    old = signal.signal(signal.SIGALRM, _on_timeout)
+    signal.setitimer(signal.ITIMER_REAL, _TEST_TIMEOUT)
+    try:
+        yield
+    finally:
+        signal.setitimer(signal.ITIMER_REAL, 0)
+        signal.signal(signal.SIGALRM, old)
 
 
 @pytest.fixture(scope="session")
