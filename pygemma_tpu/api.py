@@ -114,6 +114,23 @@ def estimate_lambda(eigenVals, Y, W, restricted: bool = True,
     return float(lam[0])
 
 
+def _kinship_fingerprint(Karr: np.ndarray, max_samples: int = 4096) -> str:
+    """Content hash of K for the eigen-checkpoint key.
+
+    Hashes a strided byte sample (bounded work even for 50k x 50k kinships)
+    plus shape and dtype, so two kinships that merely agree on a few summary
+    values can never silently reuse each other's cached eigenbasis."""
+    import hashlib
+
+    h = hashlib.blake2b(digest_size=16)
+    h.update(repr((Karr.shape, Karr.dtype.str)).encode())
+    stride = max(1, int(np.ceil(np.sqrt(Karr.size / max_samples))))
+    sample = np.ascontiguousarray(Karr[::stride, ::stride]) \
+        if Karr.ndim == 2 else np.ascontiguousarray(Karr[::stride])
+    h.update(sample.tobytes())
+    return h.hexdigest()
+
+
 def _host_pvalues(res: dict, n: int, c: int, tests) -> None:
     """Recompute p-values on host in float64 with scipy for exact parity with
     the reference's ``stats.f.sf`` (lmm/lmm.py:482)."""
@@ -198,7 +215,8 @@ def pygemma(
         from .parallel.mesh import snp_sharding
 
         with_null = ("lrt" in cfg.tests) or ("score" in cfg.tests)
-        assoc_fn = sharded_assoc_fn(mesh, cfg, de=de, with_null=with_null)
+        assoc_fn = sharded_assoc_fn(mesh, cfg, de=de, with_null=with_null,
+                                    keys=tuple(_result_keys(cfg)))
         rot_fn = sharded_rotate_fn(mesh, cfg)
         eigh_fn = sharded_eigh_fn(mesh, cfg)
         xb_sharding = snp_sharding(mesh, cfg.snp_axis)
@@ -210,8 +228,7 @@ def pygemma(
 
         ckpt = RunCheckpoint(run_dir)
         ckpt.clean_stale()
-        Karr = np.asarray(K)
-        eig_key = f"{Karr.shape}|{float(np.sum(Karr[:2])):.8g}|{cfg.dtype}"
+        eig_key = f"{_kinship_fingerprint(np.asarray(K))}|{cfg.dtype}"
         # Saved blocks are only resumable under the same settings.
         run_meta = {"tests": list(cfg.tests), "grid": cfg.grid,
                     "dtype": cfg.dtype, "de": de, "snp_block": cfg.snp_block}
@@ -256,6 +273,10 @@ def pygemma(
         Y_dev = jnp.asarray(Y)
 
     B = min(cfg.snp_block, max(p, 1))
+    if mesh is not None and cfg.snp_axis in mesh.shape:
+        # shard_map needs the block to divide evenly over the snp axis
+        nsnp = mesh.shape[cfg.snp_axis]
+        B = ((B + nsnp - 1) // nsnp) * nsnp
     n_pheno = Y.shape[1]
 
     # Batched multi-phenotype scan: one vmapped executable for all
@@ -355,16 +376,12 @@ def _scan_phenos_looped(X, Y_dev, W_dev, ev_dev, U_dev, cfg, de, n, p, B, log,
                     xb = prefetched[2]
                 if mesh is not None:
                     xb_dev = jax.device_put(np.asarray(xb), xb_sharding)
-                    with mesh:
-                        if U_dev is not None:
-                            xb_dev = rot_fn(jnp.asarray(U_dev), xb_dev)
-                        args = (ev_dev, W_dev, y_dev, xb_dev)
-                        if null_arr is not None:
-                            args = args + (null_arr,)
-                        res = assoc_fn(*args)
-                    stacked = np.stack(
-                        [np.asarray(res[k]) for k in keys]
-                    )
+                    if U_dev is not None:
+                        xb_dev = rot_fn(jnp.asarray(U_dev), xb_dev)
+                    args = (ev_dev, W_dev, y_dev, xb_dev)
+                    if null_arr is not None:
+                        args = args + (null_arr,)
+                    stacked = assoc_fn(*args)  # (n_keys, B), snp-sharded
                 else:
                     xb_dev = jnp.asarray(xb)
                     if U_dev is not None:
@@ -372,12 +389,11 @@ def _scan_phenos_looped(X, Y_dev, W_dev, ev_dev, U_dev, cfg, de, n, p, B, log,
                     stacked = _assoc_block_jit(
                         ev_dev, W_dev, y_dev, xb_dev, cfg, null_arr, de
                     )
-                    if ckpt is None:
-                        pending.append((m, stacked))
-                        continue
+                if ckpt is None:
+                    pending.append((m, stacked))
+                    continue
                 blk = block_to_cols(np.asarray(stacked), m)
-                if ckpt is not None:
-                    ckpt.save_block(ph * p + start, blk)
+                ckpt.save_block(ph * p + start, blk)
                 for k in cols:
                     cols[k].append(blk[k])
 

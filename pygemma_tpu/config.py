@@ -54,11 +54,12 @@ class GwasConfig:
     newton_iters: int = 10
     #: Newton relative-step convergence tolerance (pygemma_model.pyx:1411)
     newton_rtol: float = 1e-5
-    #: maximum number of sign-change brackets refined per SNP.  The reference
-    #: refines every sign-change bracket sequentially
-    #: (pygemma_model.pyx:154-194); on TPU each extra root slot costs a full
-    #: masked refinement pass, and >2 real roots is vanishingly rare.
-    max_roots: int = 2
+    #: maximum number of sign-change brackets refined per SNP.  0 (default)
+    #: refines EVERY sign-change bracket, matching the reference's exhaustive
+    #: sequential scan (pygemma_model.pyx:154-194); the solver compacts live
+    #: root problems into batches so unused brackets cost nothing.  A
+    #: positive value caps the brackets per SNP (benchmark knob only).
+    max_roots: int = 0
     #: use the pure grid search instead of bracket+Newton
     #: (reference grid=True path, pygemma_model.pyx:99-132)
     grid: bool = False

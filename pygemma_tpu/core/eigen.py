@@ -87,28 +87,39 @@ def _device_hbm_bytes() -> int:
         return 0
 
 
-def auto_eigendecompose(K, backend: str = "auto", dtype=None):
+def device_eigh_admissible(n: int, hbm: int, n_shards: int = 1) -> bool:
+    """Whether an n x n eigh fits the HBM actually available to it.
+
+    ``n_shards`` is the number of devices the *caller* shards the eigh over
+    (1 for the unsharded driver path -- an unsharded eigh runs on a single
+    device no matter how many are visible, so the admission test must not
+    scale with the visible device count).
+    """
+    itemsize = 4
+    need = 30 * n * n * itemsize  # QDWH scratch estimate (~30 n^2 floats)
+    if hbm and need > 0.8 * hbm * max(1, n_shards):
+        return False
+    if hbm == 0 and n > 6000:
+        return False
+    return True
+
+
+def auto_eigendecompose(K, backend: str = "auto", dtype=None,
+                        n_shards: int = 1):
     """Pick device vs host eigh.
 
-    "auto": device when the QDWH scratch estimate (~30 n^2 floats) fits in
-    one device's HBM or when multiple devices are available to shard it;
-    host LAPACK otherwise.
+    "auto": device when the QDWH scratch estimate fits the available HBM
+    (see :func:`device_eigh_admissible`); host LAPACK otherwise.
     """
     if backend == "host":
         return host_eigendecompose(K, dtype)
     if backend == "device":
         return eigendecompose(jnp.asarray(K))
     n = K.shape[0]
-    itemsize = 4
-    need = 30 * n * n * itemsize
-    hbm = _device_hbm_bytes()
-    n_dev = len(jax.devices())
     if jax.devices()[0].platform == "cpu":
         # virtual-CPU test meshes: jnp eigh is fine and shardable
         return eigendecompose(jnp.asarray(K))
-    if hbm and need > 0.8 * hbm * max(1, n_dev):
-        return host_eigendecompose(K, dtype)
-    if hbm == 0 and n > 6000:
+    if not device_eigh_admissible(n, _device_hbm_bytes(), n_shards):
         return host_eigendecompose(K, dtype)
     if n <= 4096:
         # small problems: LAPACK runtime is trivial while the accelerator

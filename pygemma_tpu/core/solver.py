@@ -8,10 +8,14 @@ masked updates over the whole SNP block:
 
 1.  Evaluate d ell/d lambda at the 11 decade points 10^-5..10^5 with a
     *shared* lambda (pure-GEMM path) and detect sign changes per SNP.
-2.  For up to ``cfg.max_roots`` sign-change brackets per SNP, run a fixed
-    number of masked bisection steps (replacing brentq) followed by masked
-    safeguarded Newton steps replicating the reference's stopping rules
-    (ratio-sign break, bracket clamping, rel-tol 1e-5; pyx:1392-1411).
+2.  For EVERY sign-change bracket per SNP (exactly like the reference's
+    sequential bracket scan; an optional ``cfg.max_roots`` cap exists for
+    benchmarking), run a fixed number of masked bisection steps (replacing
+    brentq) followed by masked safeguarded Newton steps replicating the
+    reference's stopping rules (ratio-sign break, bracket clamping,
+    rel-tol 1e-5; pyx:1392-1411).  Root problems are refined in compacted
+    batches of B lanes, so blocks with few roots pay for one pass and
+    blocks with none pay for nothing.
 3.  Evaluate the (restricted) likelihood at every refined root plus the two
     bracket endpoints and keep the argmax -- the reference's multi-root
     resolution (pyx:186-194) -- with candidate order chosen so argmax
@@ -172,8 +176,12 @@ def solve_lambda(problem: LambdaProblem, cfg: GwasConfig):
     signs = _sign(d1_grid)
     sc = signs[:, :-1] * signs[:, 1:] < 0  # (B, n_grid - 1) sign changes
 
-    # --- stage 2: pick the first max_roots sign-change brackets per SNP ----
-    R = cfg.max_roots
+    # --- stage 2: stage the sign-change brackets per SNP --------------------
+    # max_roots=0 (default) stages EVERY decade bracket, matching the
+    # reference's exhaustive bracket scan (pyx:154-194); a positive value
+    # caps the brackets refined per SNP.
+    n_brk = n_grid - 1
+    R = min(cfg.max_roots, n_brk) if cfg.max_roots > 0 else n_brk
     order = jnp.argsort(~sc, axis=1, stable=True)[:, :R]  # (B, R)
     valid = jnp.take_along_axis(sc, order, axis=1)  # (B, R)
     pow_lo = lo_pow + order.astype(dtype)
@@ -186,17 +194,16 @@ def solve_lambda(problem: LambdaProblem, cfg: GwasConfig):
     )  # (2, B)
     ep_liks = jnp.broadcast_to(ep_liks, (2, B))
 
-    # --- stages 3-5: root-slot refinement.  Every eval takes a (B, r) lambda
-    # tensor; the fused kernel reads the genotype rows once for all slots.
-    # Refinement cost scales with lanes x slots, but most SNPs contribute at
-    # most one sign-change bracket and many contribute none -- so dispatch on
-    # the total root count with lax.switch: the 0-root branch skips
-    # refinement entirely; when the block's roots fit in B lanes they are
-    # *compacted* (gathered) into a single-slot problem so dead lanes and
-    # dead slots cost nothing; only blocks with more than B roots pay for
-    # the full (B, R) slot grid.  Each branch computes exactly what the
-    # full-R path would for its live lanes, so results are bit-identical to
-    # the reference semantics.
+    # --- stages 3-5: root refinement in compacted batches.  Every eval
+    # takes a (B, r) lambda tensor; the fused kernel reads the genotype rows
+    # once for all slots.  Refinement cost scales with lanes x slots, but
+    # most SNPs contribute at most one sign-change bracket and many
+    # contribute none -- so every (snp, bracket) root problem is *gathered*
+    # into the lanes of a single-slot (B, 1) problem and a while_loop walks
+    # ceil(total_roots / B) such batches (zero iterations when the block has
+    # no roots at all).  Dead lanes and dead slots cost nothing, and results
+    # are bit-identical to refining every bracket in place: compaction only
+    # changes *where* each root is computed, not *what* is computed.
     def refine_body(problem, lo0_r, hi0_r, valid_r, flo):
         """Bisection + Newton + likelihood for one slot layout (B, r)."""
 
@@ -250,47 +257,50 @@ def solve_lambda(problem: LambdaProblem, cfg: GwasConfig):
         lik_r = jnp.where(valid_r, lik_r, -jnp.inf)
         return lam_r, lik_r
 
-    def no_roots():
-        return (
-            jnp.ones((B, R), dtype),
-            jnp.full((B, R), -jnp.inf, dtype),
-        )
+    # Lane l of a compacted batch works on SNP sel[l] // R, bracket slot
+    # sel[l] % R; lanes past the last root are masked invalid (their Newton
+    # state starts "done" and their likelihood is forced to -inf).  Each
+    # flat slot appears in exactly one batch (disjoint stable-sort rank
+    # ranges), so scatters never collide; an invalid lane writes the same
+    # (lambda = 1, -inf) an untouched slot already holds.
+    flat_valid = valid.reshape(-1)  # (B * R,) SNP-major
+    sorted_idx = jnp.argsort(~flat_valid, stable=True)  # roots first
+    total_roots = jnp.sum(flat_valid)
+    n_batches = (total_roots + B - 1) // B
+    lo0_f = lo0.reshape(-1)
+    hi0_f = hi0.reshape(-1)
+    flo_f = sign_lo.reshape(-1)
 
-    def refine_full():
-        return refine_body(problem, lo0, hi0, valid, sign_lo)
+    def batch_cond(state):
+        return state[0] < n_batches
 
-    def refine_compacted():
-        # Gather every (snp, bracket) root problem into the first lanes of a
-        # single-slot (B, 1) problem.  Lane l of the compacted problem works
-        # on SNP sel[l] // R, bracket slot sel[l] % R; lanes past the last
-        # root are masked invalid (their Newton state starts "done" and
-        # their likelihood is forced to -inf), so compaction only changes
-        # *where* each root is computed, not *what* is computed.
-        flat_valid = valid.reshape(-1)  # (B * R,) SNP-major
-        sel = jnp.argsort(~flat_valid, stable=True)[:B]  # roots first
+    def batch_body(state):
+        k, lam_f, lik_f = state
+        sel = jax.lax.dynamic_slice(sorted_idx, (k * B,), (B,))
         snp_idx = sel // R
         valid_c = flat_valid[sel][:, None]  # (B, 1)
-        lo0_c = lo0.reshape(-1)[sel][:, None]
-        hi0_c = hi0.reshape(-1)[sel][:, None]
-        flo_c = sign_lo.reshape(-1)[sel][:, None]
         prob_c = problem._replace(
             v=problem.v[:, snp_idx], v2=problem.v2[:, snp_idx]
         )
-        lam_c, lik_c = refine_body(prob_c, lo0_c, hi0_c, valid_c, flo_c)
-        # Scatter back to the (B, R) slot grid; untouched slots keep
-        # lambda = 1 and likelihood = -inf, exactly as invalid slots do in
-        # the full path.
-        lam_r = jnp.ones((B * R,), dtype).at[sel].set(lam_c[:, 0])
-        lik_r = jnp.full((B * R,), -jnp.inf, dtype).at[sel].set(lik_c[:, 0])
-        return lam_r.reshape(B, R), lik_r.reshape(B, R)
+        lam_c, lik_c = refine_body(
+            prob_c, lo0_f[sel][:, None], hi0_f[sel][:, None],
+            valid_c, flo_f[sel][:, None],
+        )
+        lam_f = lam_f.at[sel].set(jnp.where(valid_c[:, 0], lam_c[:, 0],
+                                            jnp.asarray(1.0, dtype)))
+        lik_f = lik_f.at[sel].set(lik_c[:, 0])
+        return k + 1, lam_f, lik_f
 
-    total_roots = jnp.sum(sc)
-    branch_idx = jnp.where(
-        total_roots == 0, 0, jnp.where(total_roots <= B, 1, 2)
-    ).astype(jnp.int32)
-    lam_r, lik_r = jax.lax.switch(
-        branch_idx, [no_roots, refine_compacted, refine_full]
+    _, lam_f, lik_f = jax.lax.while_loop(
+        batch_cond, batch_body,
+        (
+            jnp.zeros((), total_roots.dtype),
+            jnp.ones((B * R,), dtype),
+            jnp.full((B * R,), -jnp.inf, dtype),
+        ),
     )
+    lam_r = lam_f.reshape(B, R)
+    lik_r = lik_f.reshape(B, R)
 
     # candidate order: endpoints first (low wins ties), then roots in
     # bracket order -- matches the reference's strict-improvement scan.

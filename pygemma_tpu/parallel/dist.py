@@ -35,18 +35,22 @@ from .mesh import replicated, result_sharding, snp_sharding
 
 
 def sharded_assoc_fn(mesh: Mesh, cfg: GwasConfig, de: bool = False,
-                     with_null: bool = False):
-    """jit-compiled association step with explicit shardings.
+                     with_null: bool = False, keys=None):
+    """jit-compiled association step, SNP-parallel via ``shard_map``.
 
     Inputs: ev (n,), W (n, c), y (n,) replicated; X (n, B) sharded over the
-    ``snp`` axis.  Outputs stay sharded over ``snp``.
+    ``snp`` axis.  The body is a *per-device* program: each device runs the
+    full :func:`assoc_block` on its local (n, B / n_snp) genotype shard --
+    including the fused Pallas Gram kernel, which needs no GSPMD
+    partitioning rule inside shard_map.  Every per-SNP output is elementwise
+    over the snp axis (the solver's cross-SNP root compaction only changes
+    *where* a root is refined, never its value), so the body runs
+    collective-free and outputs stay sharded over ``snp``.
+
+    With ``keys`` (a static tuple of AssocResult field names) the step
+    returns ONE stacked (n_keys, B) buffer, so the driver can defer a single
+    device->host pull per block exactly like the single-device path.
     """
-    rep = replicated(mesh)
-    xsh = snp_sharding(mesh, cfg.snp_axis)
-    rsh = result_sharding(mesh, cfg.snp_axis)
-    # The Pallas kernel has no GSPMD partitioning rule; under a sharded jit
-    # the XLA Gram path partitions cleanly over the snp axis instead.
-    cfg = cfg.replace(use_fused_kernel=False)
 
     def step(ev, W, y, X, null_arr=None):
         null = (
@@ -55,16 +59,23 @@ def sharded_assoc_fn(mesh: Mesh, cfg: GwasConfig, de: bool = False,
             else None
         )
         res = assoc_block(ev, W, y, X, cfg, null=null, de=de)
-        return {
-            k: v for k, v in res._asdict().items() if v is not None
-        }
+        d = res._asdict()
+        if keys is not None:
+            return jnp.stack([d[k] for k in keys])
+        return {k: v for k, v in d.items() if v is not None}
 
-    in_shardings = (rep, rep, rep, xsh) + ((rep,) if with_null else ())
-    return jax.jit(
-        step,
-        in_shardings=in_shardings,
-        out_shardings=rsh,
-    )
+    rep = P()
+    in_specs = (rep, rep, rep, P(None, cfg.snp_axis)) + \
+        ((rep,) if with_null else ())
+    out_specs = P(None, cfg.snp_axis) if keys is not None else P(cfg.snp_axis)
+    # check_vma=False: the solver's masked fixed-point loops mix varying
+    # (per-shard genotype) and replicated (bracket-grid) carries, which the
+    # varying-manual-axes checker cannot type; the body is collective-free
+    # by construction, so the check adds nothing here.
+    return jax.jit(jax.shard_map(
+        step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    ))
 
 
 def sharded_rotate_fn(mesh: Mesh, cfg: GwasConfig):

@@ -153,6 +153,53 @@ def test_profiling_utils_smoke(capsys):
     assert "cumtime" in out or "function calls" in out
 
 
+def test_eigen_checkpoint_key_distinguishes_kinships(tmp_path):
+    """Regression (round-1 verdict, weak #6): the eigen-cache key must not
+    collide for kinships that agree on shape + a few summary values."""
+    from pygemma_tpu.api import _kinship_fingerprint
+
+    K1 = random_psd_kinship(40, seed=1).astype(np.float64)
+    # same shape AND same sum of the first two rows (the old key), but a
+    # different matrix: the old key collided, the fingerprint must not.
+    K2 = K1.copy()
+    K2[5, 5] += 1.0
+    assert np.sum(K1[:2]) == np.sum(K2[:2])
+    assert _kinship_fingerprint(K1) != _kinship_fingerprint(K2)
+    # deterministic and dtype/shape sensitive
+    assert _kinship_fingerprint(K1) == _kinship_fingerprint(K1.copy())
+    assert (_kinship_fingerprint(K1.astype(np.float32))
+            != _kinship_fingerprint(K1))
+    # end-to-end: a run_dir reused with a different K recomputes the eigh
+    y, G, W, K = oracle.simulate(n=40, p=6, c=1, seed=3)
+    cfg = GwasConfig(dtype="float64", snp_block=8)
+    rd = str(tmp_path / "run")
+    df1 = pygemma(y, G, W, K, config=cfg, run_dir=rd)
+    Kb = random_psd_kinship(40, seed=9).astype(np.float64)
+    for f in os.listdir(rd):  # drop result blocks, keep eigen.npz
+        if f.startswith("block_"):
+            os.remove(os.path.join(rd, f))
+    df2 = pygemma(y, G, W, Kb, config=cfg, run_dir=rd)
+    df_fresh = pygemma(y, G, W, Kb, config=cfg)
+    np.testing.assert_allclose(df2["p_wald"], df_fresh["p_wald"], rtol=1e-8)
+    assert not np.allclose(df1["p_wald"], df2["p_wald"])
+
+
+def test_device_eigh_admission_ignores_visible_device_count():
+    """Regression (round-1 verdict, weak #5): an unsharded eigh runs on ONE
+    device; admission must not scale with the number of visible devices."""
+    from pygemma_tpu.core.eigen import device_eigh_admissible
+
+    hbm = 16 << 30  # one v5e-class chip
+    n_big = 20000  # needs ~48 GB of scratch: must be rejected unsharded
+    assert not device_eigh_admissible(n_big, hbm, n_shards=1)
+    # the old bug: 8 visible devices made 'need > 0.8*hbm*8' pass
+    assert device_eigh_admissible(n_big, hbm, n_shards=8)
+    assert device_eigh_admissible(8000, hbm, n_shards=1)
+    # unknown HBM: conservative fallback keeps big problems on host
+    assert not device_eigh_admissible(8000, 0, n_shards=1)
+    assert device_eigh_admissible(4000, 0, n_shards=1)
+
+
 def test_cli_drops_missing_phenotype(tmp_path):
     """CLI filters NA-phenotype individuals before the scan."""
     import pandas as pd

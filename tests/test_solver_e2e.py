@@ -177,13 +177,13 @@ def test_lambda_parity_fuzz(seed):
 
 
 def test_solver_branch_parity():
-    """The data-dependent refinement branches (compacted single-slot vs full
-    (B, R) slot grid, lax.switch in solve_lambda) must agree exactly.
+    """Data-dependent refinement batching must not change results.
 
-    A block whose total sign-change-bracket count exceeds B takes the full
-    path; padding the same block with no-root lanes drops it under B and
-    takes the compacted path.  The shared lanes must produce identical
-    lambdas -- compaction only changes where each root is refined.
+    A block whose total sign-change-bracket count exceeds B refines roots in
+    several compacted batches; padding the same block with no-root lanes
+    drops the count under B and refines in one.  The shared lanes must
+    produce identical lambdas -- compaction/batching only changes *where*
+    each root is refined.
     """
     y, G, W, K = oracle.simulate(n=150, p=12, c=2, seed=23)
     ev, U = np.linalg.eigh(K)
@@ -209,3 +209,83 @@ def test_solver_branch_parity():
                                np.asarray(lam_small), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(lik_big)[:12],
                                np.asarray(lik_small), rtol=1e-12)
+
+
+def _multiroot_fixture(n_out=96):
+    """Eigen-spectrum + outcome block whose REML derivative has 0..4 decade
+    sign changes per lane (log-uniform eigenvalues over 10 decades make
+    multimodal restricted likelihoods common at tiny n)."""
+    rng = np.random.default_rng(147)
+    n = int(rng.integers(8, 30))  # 9
+    ev = 10.0 ** rng.uniform(-5, 5, size=n)
+    W = np.ones((n, 1))
+    Y = np.random.default_rng(0).normal(size=(n, n_out))
+    return ev, W, Y
+
+
+def test_solver_refines_every_bracket_multiroot_fuzz():
+    """Regression (round-1 verdict, missing #6): the reference refines EVERY
+    sign-change bracket (pyx:154-194); the solver previously capped at 2.
+    Lanes here have up to 4 brackets; lambda* must match the all-bracket
+    oracle on every lane, and the fixture must actually contain >=3-bracket
+    lanes so this test keeps guarding the multi-root path."""
+    ev, W, Y = _multiroot_fixture()
+    n = len(ev)
+    decades = [10.0 ** e for e in range(-5, 6)]
+
+    sign_changes = []
+    for t in range(Y.shape[1]):
+        d1 = [oracle.d1_restricted(l, ev, Y[:, t], W) for l in decades]
+        s = np.sign(d1)
+        sign_changes.append(int(np.sum(s[:-1] * s[1:] < 0)))
+    assert max(sign_changes) >= 3, "fixture lost its multi-root lanes"
+
+    shared = jnp.asarray(W)
+    pairs = pair_products(shared)
+    v = jnp.asarray(Y)
+    # permute=False: design = W, outcome = each lane of v (null-model shape)
+    prob = LambdaProblem(jnp.asarray(ev), shared, pairs, v, v * v, n, 1,
+                         False, True)
+    lam_star, _ = solve_lambda(prob, CFG64)
+    for t in range(Y.shape[1]):
+        ref = oracle.calc_lambda(ev, Y[:, t], W, restricted=True)
+        got = float(lam_star[t])
+        if ref in (1e-5, 1e5) or got in (1e-5, 1e5):
+            np.testing.assert_allclose(got, ref, rtol=1e-6,
+                                       err_msg=f"lane {t} ({sign_changes[t]} brackets)")
+        else:
+            np.testing.assert_allclose(got, ref, rtol=1e-3,
+                                       err_msg=f"lane {t} ({sign_changes[t]} brackets)")
+
+
+def test_solver_multibatch_compaction():
+    """Total roots >> B forces multiple compacted refinement batches; results
+    must match the per-lane oracle regardless of how many batches run."""
+    ev, W, Y = _multiroot_fixture(n_out=512)
+    n = len(ev)
+    decades = [10.0 ** e for e in range(-5, 6)]
+    # keep only multi-bracket lanes, then use a tiny block so that
+    # total_roots > B and several while_loop batches execute
+    keep = []
+    for t in range(Y.shape[1]):
+        d1 = [oracle.d1_restricted(l, ev, Y[:, t], W) for l in decades]
+        s = np.sign(d1)
+        if int(np.sum(s[:-1] * s[1:] < 0)) >= 2:
+            keep.append(t)
+        if len(keep) == 12:
+            break
+    assert len(keep) == 12
+    Yk = Y[:, keep]  # 12 lanes x >=2 roots each -> >= 24 roots, B = 12
+    shared = jnp.asarray(W)
+    pairs = pair_products(shared)
+    v = jnp.asarray(Yk)
+    prob = LambdaProblem(jnp.asarray(ev), shared, pairs, v, v * v, n, 1,
+                         False, True)
+    lam_star, _ = solve_lambda(prob, CFG64)
+    for i, t in enumerate(keep):
+        ref = oracle.calc_lambda(ev, Yk[:, i], W, restricted=True)
+        got = float(lam_star[i])
+        if ref in (1e-5, 1e5) or got in (1e-5, 1e5):
+            np.testing.assert_allclose(got, ref, rtol=1e-6)
+        else:
+            np.testing.assert_allclose(got, ref, rtol=1e-3)
