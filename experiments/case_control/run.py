@@ -29,6 +29,11 @@ def main():
     ap.add_argument("--pcs", type=int, default=int(os.environ.get("PCS", 0)))
     ap.add_argument("--linear", action="store_true",
                     default=bool(os.environ.get("LINEAR")))
+    ap.add_argument("--write-bimbam", action="store_true",
+                    default=bool(os.environ.get("WRITEDATA")),
+                    help="write BIMBAM mean-genotype/phenotype/kinship "
+                         "cross-check inputs for an external GEMMA run "
+                         "(reference run_pygemma_imputed.py:448-470)")
     ap.add_argument("--out-dir", default=os.environ.get("OUTPUT", "cc_output"))
     args = ap.parse_args()
 
@@ -64,6 +69,26 @@ def main():
         W = np.c_[W, pp.pca_covariates(X, n_pcs=args.pcs)]
 
     K = kinship_blocked(X)
+
+    if args.write_bimbam:
+        # Cross-check inputs for an external `gemma -g ... -p ... -k ...`
+        # run: imputed mean genotypes (one BIMBAM row per SNP), one
+        # phenotype value per line, dense kinship (reference
+        # run_pygemma_imputed.py:448-470 writes the same trio).
+        from pygemma_tpu.io import bimbam
+
+        bimbam.write_geno(
+            os.path.join(args.out_dir, "cc_genotypes.tsv"), X, names=names
+        )
+        bimbam.write_pheno(
+            os.path.join(args.out_dir, "cc_phenotypes.tsv"), y
+        )
+        bimbam.write_matrix(
+            os.path.join(args.out_dir, "cc_kinship.txt"), K
+        )
+        print(f"BIMBAM cross-check inputs written to {args.out_dir}",
+              file=sys.stderr)
+
     t0 = time.time()
     df = pygemma(y, X, W, K, snps=names, verbose=1)
     print(f"LMM scan: {time.time()-t0:.1f}s; "

@@ -51,3 +51,40 @@ def kinship_blocked(X: np.ndarray, block: int = 8192,
         xb = jnp.asarray(np.asarray(X[:, s:s + block], dtype=np.float32))
         K = acc(K, xb)
     return np.asarray(K / p)
+
+
+def write_gcta_grm(prefix: str, K: np.ndarray, sample_ids=None,
+                   n_snps: int = 0) -> None:
+    """Write K in GCTA binary GRM format (.grm.bin/.grm.N.bin/.grm.id).
+
+    The rival-benchmark seam the reference drives from R
+    (experiments/benchmarks/subsample.R:98-110 times ``gcta --mlma`` against
+    a GRM): float32 lower triangle incl. diagonal in (i, j<=i) order, a
+    per-pair SNP-count file, and FID/IID lines.
+    """
+    K = np.asarray(K, np.float32)
+    n = K.shape[0]
+    sample_ids = sample_ids or [f"id{i}" for i in range(n)]
+    idx = np.tril_indices(n)
+    # tril_indices is row-major over (i, j<=i) -- exactly GCTA's pair order
+    with open(prefix + ".grm.bin", "wb") as f:
+        f.write(np.ascontiguousarray(K[idx], np.float32).tobytes())
+    with open(prefix + ".grm.N.bin", "wb") as f:
+        f.write(np.full(len(idx[0]), max(n_snps, 1),
+                        np.float32).tobytes())
+    with open(prefix + ".grm.id", "w") as f:
+        for i, sid in enumerate(sample_ids):
+            f.write(f"fam{i}\t{sid}\n")
+
+
+def read_gcta_grm(prefix: str) -> np.ndarray:
+    """Read a GCTA binary GRM back into a dense symmetric (n, n) matrix."""
+    with open(prefix + ".grm.id") as f:
+        n = sum(1 for line in f if line.strip())
+    vals = np.frombuffer(open(prefix + ".grm.bin", "rb").read(),
+                         np.float32)
+    K = np.zeros((n, n), np.float32)
+    idx = np.tril_indices(n)
+    K[idx] = vals
+    K[(idx[1], idx[0])] = vals
+    return K

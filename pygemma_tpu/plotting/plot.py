@@ -63,7 +63,12 @@ def manhattan_plot(
         thr = float(cutoff)
 
     if interactive:
-        return _manhattan_plotly(chrom, pos, logp, thr, save_path, title)
+        beta = (np.asarray(df["beta"], float)
+                if "beta" in getattr(df, "columns", []) else None)
+        snp_names = (np.asarray(df["SNPs"]).astype(str)
+                     if "SNPs" in getattr(df, "columns", []) else None)
+        return _manhattan_plotly(chrom, pos, logp, thr, save_path, title,
+                                 beta=beta, snp_names=snp_names)
 
     plt = _mpl()
     own_fig = ax is None
@@ -89,20 +94,69 @@ def manhattan_plot(
     return ax
 
 
-def _manhattan_plotly(chrom, pos, logp, thr, save_path, title):
+def _manhattan_plotly(chrom, pos, logp, thr, save_path, title,
+                      beta=None, snp_names=None):
+    """Interactive Manhattan (reference plotting/plot.py:106-237 semantics):
+
+    * one colored trace per chromosome; the dense background layer carries
+      no hover payload (hoverinfo='skip') so the HTML stays light,
+    * a second per-chromosome layer for SNPs above the cutoff with rich
+      hover text (chrom:pos, SNP id, beta, -log10 p),
+    * chromosome labels as x ticks at each chromosome's median index,
+    * dashed cutoff line; ``write_html`` with MathJax for the axis label.
+    """
     try:
         import plotly.graph_objects as go
+        import plotly.express as px
     except Exception as e:  # pragma: no cover
         raise ImportError("plotly not available for interactive plots") from e
-    fig = go.Figure(
-        go.Scattergl(x=np.arange(len(logp)), y=logp, mode="markers",
-                     marker=dict(size=3))
-    )
+
+    palette = px.colors.qualitative.Plotly
+    order = np.lexsort((pos, chrom))
+    chrom_s, logp_s = chrom[order], logp[order]
+    pos_s = pos[order]
+    beta_s = beta[order] if beta is not None else None
+    names_s = snp_names[order] if snp_names is not None else None
+    idx = np.arange(len(logp_s))
+
+    fig = go.Figure()
+    tickvals, ticktext = [], []
+    for ci, ch in enumerate(dict.fromkeys(chrom_s.tolist())):
+        sel = chrom_s == ch
+        color = palette[ci % len(palette)]
+        tickvals.append(float(np.median(idx[sel])))
+        ticktext.append(str(ch))
+        fig.add_trace(go.Scattergl(
+            x=idx[sel], y=logp_s[sel], mode="markers",
+            marker=dict(size=3, color=color, line=dict(width=0)),
+            hoverinfo="skip", showlegend=False,
+        ))
+        sig = sel & (logp_s >= thr)
+        if not sig.any():
+            continue
+        hover = [
+            f"{chrom_s[i]}:{pos_s[i]:g}"
+            + (f"<br>{names_s[i]}" if names_s is not None else "")
+            + (f"<br>beta: {beta_s[i]:.2e}" if beta_s is not None else "")
+            + f"<br>-log10(p): {logp_s[i]:.2f}"
+            for i in idx[sig]
+        ]
+        fig.add_trace(go.Scattergl(
+            x=idx[sig], y=logp_s[sig], mode="markers",
+            marker=dict(size=6, color=color, line=dict(width=0)),
+            hoverinfo="text", hovertext=hover, showlegend=False,
+        ))
+
     fig.add_hline(y=thr, line_dash="dash", line_color="red")
-    if title:
-        fig.update_layout(title=title)
+    fig.update_layout(
+        xaxis_title="Chromosome",
+        xaxis=dict(tickmode="array", tickvals=tickvals, ticktext=ticktext),
+        yaxis_title=r"$-\log_{10}(p)$",
+        showlegend=False,
+        title=title or "Manhattan Plot",
+    )
     if save_path:
-        fig.write_html(save_path)
+        fig.write_html(save_path, include_mathjax="cdn")
     return fig
 
 

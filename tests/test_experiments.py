@@ -77,6 +77,45 @@ def test_large_gwas_pipeline(tmp_path):
     assert len(df) == 20 and np.isfinite(df["p_wald"]).all()
 
 
+def test_ukb_afr_pipeline(tmp_path):
+    """Per-chromosome pipeline with imputation, PCs, shared eigh checkpoint,
+    QQ/Manhattan artifacts, and null-model diagnostics
+    (reference experiments/ukb_afr/code/run_snp.py, run_without_snp.py)."""
+    out = str(tmp_path / "ukb")
+    _run_main(os.path.join(_EXP, "ukb_afr", "run_chrom.py"),
+              ["--n", "70", "--p-per-chrom", "30", "--chroms", "20,21",
+               "--pcs", "2", "--null-diagnostics", "--out-dir", out])
+    import pandas as pd
+
+    for ch in (20, 21):
+        df = pd.read_csv(os.path.join(out,
+                                      f"pygemma_results_chr{ch}_pheno0.csv"))
+        assert np.isfinite(df["p_wald"]).mean() > 0.8
+        assert os.path.exists(os.path.join(out, f"chr{ch}_pheno0_wald_qq.png"))
+    # null-model diagnostics artifacts (run_without_snp.py:96-111)
+    assert os.path.exists(os.path.join(out, "residuals.png"))
+    assert os.path.exists(os.path.join(out, "residuals_vs_fitted.png"))
+    assert os.path.exists(os.path.join(out, "manhattan.png"))
+    # eigendecomposition was shared across the chromosome loop
+    assert os.path.exists(os.path.join(out, "checkpoint", "eigen.npz"))
+
+
+def test_case_control_bimbam_crosscheck_writer(tmp_path):
+    """--write-bimbam emits GEMMA cross-check inputs
+    (reference run_pygemma_imputed.py:448-470)."""
+    out = str(tmp_path / "cc")
+    _run_main(os.path.join(_EXP, "case_control", "run.py"),
+              ["--n-cases", "20", "--n-controls", "30", "--p", "40",
+               "--write-bimbam", "--out-dir", out])
+    from pygemma_tpu.io import bimbam
+
+    X, names = bimbam.read_geno(os.path.join(out, "cc_genotypes.tsv"))
+    y = bimbam.read_pheno(os.path.join(out, "cc_phenotypes.tsv"))
+    K = bimbam.read_matrix(os.path.join(out, "cc_kinship.txt"))
+    assert X.shape[0] == 50 and len(y) == 50 and K.shape == (50, 50)
+    assert set(np.unique(y)) <= {0.0, 1.0}
+
+
 def test_config_scenarios_smoke(capsys):
     sys.path.insert(0, os.path.dirname(_EXP))
     import importlib.util

@@ -137,6 +137,89 @@ def test_compare_bridge_with_stub_binary(tmp_path, monkeypatch):
     assert (tmp_path / "wd" / "kinship.txt").exists()
 
 
+def test_emma_fixture_matches_engine():
+    """The from-scratch NumPy EMMA (SKS-spectrum REML, delta = 1/lambda)
+    must agree with the engine end-to-end -- an independent algorithmic
+    path standing in for the reference's R EMMA baseline
+    (tests/gemma_utils.py:58-161)."""
+    from pygemma_tpu.compare import emma_reml_t
+
+    y, G, W, K = oracle.simulate(n=120, p=10, c=2, seed=3)
+    em = emma_reml_t(y, G, W, K)
+    df = pygemma(y, G, W, K, config=GwasConfig(dtype="float64", snp_block=10))
+    np.testing.assert_allclose(df["beta"], em["beta"], rtol=1e-3)
+    np.testing.assert_allclose(df["lambda"], 1.0 / em["delta"], rtol=3e-3)
+    lp = -np.log10(np.maximum(df["p_wald"], 1e-300))
+    le = -np.log10(np.maximum(em["p_wald"], 1e-300))
+    np.testing.assert_allclose(lp, le, rtol=1e-3, atol=1e-3)
+
+
+def test_gcta_grm_roundtrip():
+    from pygemma_tpu.io.kinship import read_gcta_grm, write_gcta_grm
+    import tempfile
+
+    K = random_psd_kinship(17, seed=4).astype(np.float32)
+    with tempfile.TemporaryDirectory() as td:
+        write_gcta_grm(os.path.join(td, "g"), K, n_snps=100)
+        K2 = read_gcta_grm(os.path.join(td, "g"))
+    np.testing.assert_allclose(K2, np.tril(K) + np.tril(K, -1).T, rtol=1e-6)
+
+
+def test_gcta_bridge_with_stub_binary(tmp_path, monkeypatch):
+    """Exercise the GCTA retry loop + .mlma parsing with a stub binary that
+    fails once with GCTA's real error string (the reason the reference added
+    the loop, experiments/animal_gwas/gemma_utils.py:109-131)."""
+    stub = tmp_path / "gcta64"
+    marker = tmp_path / "attempted"
+    stub.write_text(
+        "#!/bin/bash\n"
+        "while [[ $# -gt 0 ]]; do\n"
+        "  case $1 in\n"
+        "    --out) OUT=$2; shift 2;;\n"
+        "    *) shift;;\n"
+        "  esac\n"
+        "done\n"
+        f"if [[ ! -e {marker} ]]; then\n"
+        f"  touch {marker}\n"
+        "  echo 'Error: Xt_Vi_X is not invertible.'\n"
+        "  exit 0\n"
+        "fi\n"
+        "printf 'Chr\\tSNP\\tbp\\tA1\\tA2\\tFreq\\tb\\tse\\tp\\n' > $OUT.mlma\n"
+        "printf '1\\trs0\\t1\\tA\\tT\\t0.3\\t0.41\\t0.1\\t0.002\\n' >> $OUT.mlma\n"
+    )
+    stub.chmod(0o755)
+    monkeypatch.setenv("GCTA", str(stub))
+
+    from pygemma_tpu import compare
+
+    rng = np.random.default_rng(2)
+    X = rng.integers(0, 3, size=(8, 3)).astype(np.float32)
+    df = compare.run_gcta(rng.normal(size=8), X,
+                          np.c_[np.ones(8), rng.normal(size=8)], np.eye(8),
+                          workdir=str(tmp_path / "wd"))
+    assert df is not None and df["p_wald"].iloc[0] == 0.002
+    assert df["beta"].iloc[0] == 0.41
+    assert marker.exists()  # the first (failing) attempt really ran
+    # bridge inputs were written in GCTA's formats
+    assert (tmp_path / "wd" / "geno.bed").exists()
+    assert (tmp_path / "wd" / "grm.grm.bin").exists()
+    assert (tmp_path / "wd" / "pheno.tsv").exists()
+
+
+def test_rival_bridges_skip_without_binaries(monkeypatch):
+    from pygemma_tpu import compare
+
+    monkeypatch.setenv("PATH", "/nonexistent")
+    monkeypatch.delenv("GCTA", raising=False)
+    monkeypatch.delenv("RSCRIPT", raising=False)
+    assert compare.find_gcta() is None
+    assert compare.run_gcta(np.zeros(4), np.zeros((4, 2)), None,
+                            np.eye(4)) is None
+    assert compare.find_rscript() is None
+    assert compare.run_emma(np.zeros(4), np.zeros((4, 2)), None,
+                            np.eye(4)) is None
+
+
 def test_profiling_utils_smoke(capsys):
     from pygemma_tpu.utils.profiling import StageTimer, host_profile
 

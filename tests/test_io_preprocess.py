@@ -192,6 +192,40 @@ def test_plotting_smoke(tmp_path, rng):
     assert os.path.exists(tmp_path / "qq.png")
 
 
+def test_plotting_interactive(tmp_path, rng):
+    """Interactive plotly Manhattan: per-chromosome traces, hover text on
+    significant SNPs, chromosome ticks (reference plotting/plot.py:106-237).
+    Skips cleanly where plotly isn't installed (this image); the matplotlib
+    path above is always exercised."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from pygemma_tpu.plotting import manhattan_plot
+
+    p = rng.uniform(size=200)
+    p[7] = 1e-9  # guaranteed significant -> hover layer exists
+    df = pd.DataFrame({
+        "p_wald": p,
+        "chrom": np.repeat([1, 2], 100),
+        "pos": np.tile(np.arange(100), 2),
+        "beta": rng.normal(size=200),
+        "SNPs": [f"rs{i}" for i in range(200)],
+    })
+    try:
+        import plotly  # noqa: F401
+    except ImportError:
+        with _pytest.raises(ImportError, match="plotly"):
+            manhattan_plot(df, interactive=True)
+        return
+    fig = manhattan_plot(df, interactive=True,
+                         save_path=str(tmp_path / "mh.html"))
+    assert os.path.exists(tmp_path / "mh.html")
+    hover_traces = [t for t in fig.data if t.hoverinfo == "text"]
+    assert hover_traces and any("beta" in h for t in hover_traces
+                                for h in t.hovertext)
+    assert list(fig.layout.xaxis.ticktext) == ["1", "2"]
+
+
 def test_pygemma_resume_rejects_changed_settings(tmp_path):
     import sys
     sys.path.insert(0, os.path.dirname(__file__))
