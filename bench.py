@@ -1,18 +1,28 @@
 """Benchmark: REML-Wald LMM association throughput on the default device.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "SNPs/s", "vs_baseline": N}
+Prints ONE JSON line (last line of stdout), e.g.:
+  {"metric": ..., "value": N, "unit": "SNPs/s", "vs_baseline": N,
+   "eigh_seconds": E, "scan_seconds": S, ...}
 
-``value`` is SNPs/sec for the full per-SNP REML pipeline (rotation of the
-genotype block into the eigenbasis + lambda grid/bisection/Newton solve +
-Wald statistics) on synthetic data shaped like the reference's UKB benchmark
-tier (experiments/benchmarks/benchmarks.py:110-149).  ``vs_baseline`` is the
-ratio against a single-core CPU implementation of the reference pyGEMMA
-algorithm (baselines/cpu_pygemma.py) timed on a subset of the same problem
-on this host.
+Two modes (PYGEMMA_BENCH_MODE):
 
-Environment knobs: PYGEMMA_BENCH_N, PYGEMMA_BENCH_P, PYGEMMA_BENCH_C,
-PYGEMMA_BENCH_BASELINE_SNPS.
+* "large" (default): the reference's big-GWAS design point
+  (experiments/large_gwas/run_pygemma.sh, matrix_reader.cpp streaming) --
+  n=20,000 samples x 100,000 SNPs streamed from an on-disk memmap rawbin
+  file through ``SnpBlockStreamer`` into the public ``pygemma()`` driver
+  with ``run_dir`` checkpointing.  The O(n^3) eigendecomposition wall time
+  is ALWAYS reported: measured fresh on the first run and replayed from the
+  cache record afterwards (``eigh_cached`` says which).
+* "standard": the round-1 single-block-loop scan (n=10,000 x 16,384) for
+  continuity with BENCH_r01.
+
+``vs_baseline`` is the ratio against a single-core CPU implementation of
+the reference pyGEMMA algorithm (baselines/cpu_pygemma.py) timed on a
+subset of the same problem on this host.
+
+Environment knobs: PYGEMMA_BENCH_MODE, PYGEMMA_BENCH_N, PYGEMMA_BENCH_P,
+PYGEMMA_BENCH_C, PYGEMMA_BENCH_BLOCK, PYGEMMA_BENCH_BASELINE_SNPS,
+PYGEMMA_BENCH_KINSHIP_SNPS.
 """
 
 from __future__ import annotations
@@ -24,12 +34,176 @@ import time
 
 import numpy as np
 
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(REPO, ".bench_cache")
+sys.path.insert(0, REPO)
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def main():
+def _gen_geno_memmap(n: int, p: int, block: int = 8192) -> np.ndarray:
+    """Synthetic standardized genotypes as an on-disk float32 rawbin memmap
+    (written block-streamed; never fully materialized in RAM)."""
+    from pygemma_tpu.io import rawbin
+
+    prefix = os.path.join(CACHE, f"geno_n{n}_p{p}")
+    if not (os.path.exists(prefix + ".bin")
+            and os.path.exists(prefix + ".dim")):
+        os.makedirs(CACHE, exist_ok=True)
+        log(f"writing memmap genotypes {n}x{p} ...")
+        t0 = time.time()
+        with open(prefix + ".bin", "wb") as f:
+            rng = np.random.default_rng(0)
+            for s in range(0, p, block):
+                b = min(block, p - s)
+                # 3-level dosage-like columns, standardized
+                Xb = rng.binomial(2, 0.3, size=(n, b)).astype(np.float32)
+                Xb = (Xb - Xb.mean(0)) / np.maximum(Xb.std(0), 1e-6)
+                # rawbin layout is row-major (n, p); write column blocks to
+                # a (p, n) file and memmap its transpose instead
+                f.write(np.ascontiguousarray(Xb.T).tobytes())
+        with open(prefix + ".dim", "w") as f:
+            f.write(f"{p} {n}\n")
+        log(f"genotype file written in {time.time()-t0:.1f}s "
+            f"({os.path.getsize(prefix + '.bin') / 2**30:.1f} GiB)")
+    from pygemma_tpu.io import rawbin as rb
+
+    Xt = rb.read_rawbin(prefix, mmap=True)  # (p, n) memmap
+    return Xt.T  # (n, p) transposed view; column slices are contiguous rows
+
+
+def _eigh_cached(K_builder, n: int, tag: str, dtype=np.float32,
+                 keep_K: bool = False):
+    """Host eigendecomposition with measured wall time persisted alongside
+    the result, so cache replays still report the true O(n^3) cost."""
+    from pygemma_tpu.core.eigen import host_eigendecompose
+
+    path = os.path.join(CACHE, f"eigh_{tag}.npz")
+    if os.path.exists(path):
+        with np.load(path) as z:
+            K = z["K"] if keep_K and "K" in z.files else None
+            return z["ev"], z["U"], K, float(z["seconds"]), True
+    K = K_builder()
+    t0 = time.time()
+    ev, U = host_eigendecompose(K, dtype)
+    secs = time.time() - t0
+    os.makedirs(CACHE, exist_ok=True)
+    extra = {"K": K} if keep_K else {}
+    np.savez(path, ev=ev, U=U, seconds=secs, **extra)
+    return ev, U, (K if keep_K else None), secs, False
+
+
+def _cpu_baseline(ev, W_r, y_r, X_r_subset):
+    from baselines.cpu_pygemma import run_gwas as cpu_run
+
+    t0 = time.time()
+    out = cpu_run(np.asarray(ev, np.float64), np.asarray(W_r, np.float64),
+                  np.asarray(y_r, np.float64),
+                  np.asarray(X_r_subset, np.float64))
+    t_cpu = time.time() - t0
+    return out, X_r_subset.shape[1] / t_cpu
+
+
+def bench_large():
+    """Streamed big-n scan through the public driver."""
+    n = int(os.environ.get("PYGEMMA_BENCH_N", 20_000))
+    p = int(os.environ.get("PYGEMMA_BENCH_P", 100_000))
+    c = int(os.environ.get("PYGEMMA_BENCH_C", 3))
+    block = int(os.environ.get("PYGEMMA_BENCH_BLOCK", 8192))
+    k_snps = int(os.environ.get("PYGEMMA_BENCH_KINSHIP_SNPS", 16_384))
+    base_snps = int(os.environ.get("PYGEMMA_BENCH_BASELINE_SNPS", 16))
+
+    import jax
+
+    from pygemma_tpu.api import _kinship_fingerprint, pygemma
+    from pygemma_tpu.config import GwasConfig
+    from pygemma_tpu.io.kinship import kinship_blocked
+    from pygemma_tpu.utils.checkpoint import RunCheckpoint
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} | LARGE streamed n={n} p={p} block={block}")
+
+    X = _gen_geno_memmap(n, p)  # (n, p) float32 memmap view
+    rng = np.random.default_rng(1)
+    W = np.c_[np.ones(n), rng.standard_normal((n, c - 1))].astype(np.float32)
+    y = (0.25 * np.asarray(X[:, :64]).mean(1) * 8.0
+         + rng.standard_normal(n)).astype(np.float32)
+
+    # GRM from a SNP subset (standard practice; keeps the host kinship
+    # build off the 2-core critical path), then the honest host eigh.
+    def build_K():
+        log(f"building kinship from {k_snps} SNPs on device ...")
+        t0 = time.time()
+        K = kinship_blocked(np.asarray(X[:, :k_snps]), block=8192)
+        K += (1e-3 * np.eye(n, dtype=np.float32))
+        log(f"kinship: {time.time()-t0:.1f}s")
+        return K
+
+    ev, U, K, eigh_secs, eigh_cached = _eigh_cached(
+        build_K, n, f"large_n{n}_k{k_snps}", keep_K=True)
+    log(f"eigh (host LAPACK, n={n}): {eigh_secs:.1f}s "
+        f"{'[cached result]' if eigh_cached else '[measured now]'}")
+
+    # Pre-seed the run_dir with the eigendecomposition under the driver's
+    # own cache key, then scan via the PUBLIC driver: memmap genotypes ->
+    # SnpBlockStreamer double-buffered host->device blocks -> per-block
+    # checkpointed results.
+    cfg = GwasConfig(snp_block=block)
+    run_dir = os.path.join(CACHE, f"run_n{n}_p{p}")
+    if os.path.isdir(run_dir):
+        for f in os.listdir(run_dir):  # fresh scan every time
+            os.remove(os.path.join(run_dir, f))
+    ckpt = RunCheckpoint(run_dir)
+    ckpt.save_eigen(ev, U, f"{_kinship_fingerprint(K)}|{cfg.dtype}")
+
+    # warmup: compile the rotation + association executables at the real
+    # shapes (remote compiles are expensive, and each new executable's first
+    # host materialization pays a one-time penalty through the tunnel)
+    t0 = time.time()
+    import jax.numpy as jnp
+
+    from pygemma_tpu.core.eigen import rotate
+
+    U_dev = jnp.asarray(U)
+    rotate(U_dev, jnp.asarray(W)).block_until_ready()
+    rotate(U_dev, jnp.asarray(y[:, None])).block_until_ready()
+    rotate(U_dev, jnp.asarray(np.asarray(X[:, :block]))).block_until_ready()
+    pygemma(y, np.asarray(X[:, :block]), W, ev, eigen=False, config=cfg)
+    del U_dev
+    log(f"warmup (compiles included): {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    df = pygemma(y, X, W, K, config=cfg, run_dir=run_dir)
+    scan_secs = time.time() - t0
+    rate = p / scan_secs
+    nfin = int(np.isfinite(df["p_wald"]).sum())
+    log(f"streamed scan: {scan_secs:.1f}s -> {rate:.1f} SNPs/s "
+        f"(finite p: {nfin}/{p})")
+
+    # single-core CPU baseline on a subset at the same n
+    Xr_sub = (U.T @ np.asarray(X[:, :base_snps])).astype(np.float64)
+    cpu_out, cpu_rate = _cpu_baseline(ev, U.T @ W, U.T @ y, Xr_sub)
+    log(f"cpu baseline: {cpu_rate:.2f} SNPs/s")
+    rel = np.nanmedian(np.abs(np.asarray(df["beta"][:base_snps])
+                              - cpu_out["beta"])
+                       / np.maximum(np.abs(cpu_out["beta"]), 1e-8))
+    log(f"median |beta rel diff| vs baseline: {rel:.2e}")
+
+    print(json.dumps({
+        "metric": f"reml_wald_snps_per_sec_n{n}_p{p}_streamed",
+        "value": round(rate, 2),
+        "unit": "SNPs/s",
+        "vs_baseline": round(rate / cpu_rate, 2),
+        "eigh_seconds": round(eigh_secs, 2),
+        "eigh_cached": bool(eigh_cached),
+        "scan_seconds": round(scan_secs, 2),
+        "end_to_end_seconds": round(scan_secs + eigh_secs, 2),
+    }))
+
+
+def bench_standard():
     n = int(os.environ.get("PYGEMMA_BENCH_N", 10_000))
     p = int(os.environ.get("PYGEMMA_BENCH_P", 16_384))
     c = int(os.environ.get("PYGEMMA_BENCH_C", 3))
@@ -40,7 +214,6 @@ def main():
 
     from pygemma_tpu.config import GwasConfig
     from pygemma_tpu.core.assoc import assoc_block
-    from pygemma_tpu.core.eigen import auto_eigendecompose
 
     dev = jax.devices()[0]
     log(f"device: {dev} | n={n} p={p} c={c}")
@@ -52,36 +225,24 @@ def main():
     y = (0.25 * G[:, : p // 50].sum(1) / max(1, p // 50) ** 0.5
          + rng.normal(size=n)).astype(np.float32)
 
-    # One-time eigendecomposition stage (reported but not in the headline
-    # rate; cached on disk since the synthetic dataset is deterministic).
-    # Everything stays host-side here: the tunnel's device->host path is slow
-    # (~MB/s) on this setup, so K is built with host BLAS instead of pulling
-    # a device K back.
     t0 = time.time()
     G_dev = jnp.asarray(G)
     G_dev.block_until_ready()
     log(f"genotype transfer to device: {time.time()-t0:.2f}s")
-    t0 = time.time()
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".bench_cache", f"eigh_n{n}_p{p}.npz")
-    if os.path.exists(cache):
-        with np.load(cache) as z:
-            ev_h, U_h = z["ev"], z["U"]
-        log("eigh: loaded from cache")
-    else:
-        K_h = (G @ G.T) / p + 1e-3 * np.eye(n, dtype=np.float32)
-        log(f"host kinship: {time.time()-t0:.2f}s")
-        ev_d, U_d = auto_eigendecompose(K_h, "host", np.float32)
-        ev_h, U_h = np.asarray(ev_d), np.asarray(U_d)
-        os.makedirs(os.path.dirname(cache), exist_ok=True)
-        np.savez(cache, ev=ev_h, U=U_h)
+
+    def build_K():
+        return (G @ G.T) / p + 1e-3 * np.eye(n, dtype=np.float32)
+
+    ev_h, U_h, _, eigh_secs, eigh_cached = _eigh_cached(
+        build_K, n, f"std_n{n}_p{p}")
+    log(f"eigh (host, n={n}): {eigh_secs:.1f}s "
+        f"{'[cached result]' if eigh_cached else '[measured now]'}")
     U = jax.device_put(U_h, dev)
     ev = jax.device_put(ev_h, dev)
     ev.block_until_ready()
-    t_eigh = time.time() - t0
-    log(f"eigh ready: {t_eigh:.2f}s")
 
-    cfg = GwasConfig(snp_block=int(os.environ.get("PYGEMMA_BENCH_BLOCK", 4096)))
+    cfg = GwasConfig(snp_block=int(os.environ.get("PYGEMMA_BENCH_BLOCK",
+                                                  4096)))
     B = cfg.snp_block
 
     rot = jax.jit(lambda U, X: jnp.dot(
@@ -99,17 +260,16 @@ def main():
 
     def scan_once():
         # Fully async dispatch: a device->host synchronization through the
-        # tunnel costs ~34 ms, so reduce per-block results on device and pull
-        # ONE scalar at the end.
+        # tunnel costs ~34 ms, so reduce per-block results on device and
+        # pull ONE scalar at the end.
         Xr = rot(U, G_dev)  # rotation: one full GEMM
         counts = []
         for s in range(0, p, B):
-            out = step(ev, W_r, y_r, jax.lax.dynamic_slice_in_dim(Xr, s, B, 1))
+            out = step(ev, W_r, y_r,
+                       jax.lax.dynamic_slice_in_dim(Xr, s, B, 1))
             counts.append(fin(out[0]))
-        return int(sum(int(c) for c in jax.device_get(counts)))
+        return int(sum(int(cc) for cc in jax.device_get(counts)))
 
-    # warmup pass: compiles every shape and absorbs the one-time
-    # first-materialization penalty tunneled backends charge per executable
     t0 = time.time()
     nfin = scan_once()
     log(f"warmup pass (compiles included): {time.time()-t0:.2f}s")
@@ -118,26 +278,19 @@ def main():
     nfin = scan_once()
     t_scan = time.time() - t0
     tpu_rate = p / t_scan
-    log(f"scan: {t_scan:.2f}s -> {tpu_rate:.1f} SNPs/s (finite beta: {nfin}/{p})")
+    log(f"scan: {t_scan:.2f}s -> {tpu_rate:.1f} SNPs/s "
+        f"(finite beta: {nfin}/{p})")
 
-    # --- CPU single-core baseline on a subset --------------------------------
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from baselines.cpu_pygemma import run_gwas as cpu_run
+    Xr_sub = (U_h.T @ G[:, :base_snps]).astype(np.float64)
+    cpu_out, cpu_rate = _cpu_baseline(ev_h, np.asarray(W_r), np.asarray(y_r),
+                                      Xr_sub)
+    log(f"cpu baseline: {cpu_rate:.2f} SNPs/s")
 
-    ev_h2 = np.asarray(ev, np.float64)
-    W_h = np.asarray(W_r, np.float64)
-    y_h2 = np.asarray(y_r, np.float64)
-    X_h = (U_h.T @ G[:, :base_snps]).astype(np.float64)
-    t0 = time.time()
-    cpu_out = cpu_run(ev_h2, W_h, y_h2, X_h)
-    t_cpu = time.time() - t0
-    cpu_rate = base_snps / t_cpu
-    log(f"cpu baseline: {base_snps} SNPs in {t_cpu:.2f}s -> {cpu_rate:.2f} SNPs/s")
-
-    # sanity: results agree on the subset
-    tpu_beta = np.asarray(step(ev, W_r, y_r, rot(U, G_dev[:, :B]))[0])[:base_snps]
+    tpu_beta = np.asarray(
+        step(ev, W_r, y_r, rot(U, G_dev[:, :B]))[0])[:base_snps]
     rel = np.nanmedian(
-        np.abs(tpu_beta - cpu_out["beta"]) / np.maximum(np.abs(cpu_out["beta"]), 1e-8)
+        np.abs(tpu_beta - cpu_out["beta"])
+        / np.maximum(np.abs(cpu_out["beta"]), 1e-8)
     )
     log(f"median |beta rel diff| vs baseline: {rel:.2e}")
 
@@ -146,7 +299,21 @@ def main():
         "value": round(tpu_rate, 2),
         "unit": "SNPs/s",
         "vs_baseline": round(tpu_rate / cpu_rate, 2),
+        "eigh_seconds": round(eigh_secs, 2),
+        "eigh_cached": bool(eigh_cached),
+        "scan_seconds": round(t_scan, 2),
     }))
+
+
+def main():
+    from pygemma_tpu.api import _enable_compile_cache
+
+    _enable_compile_cache()
+    mode = os.environ.get("PYGEMMA_BENCH_MODE", "large")
+    if mode == "large":
+        bench_large()
+    else:
+        bench_standard()
 
 
 if __name__ == "__main__":

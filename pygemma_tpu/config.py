@@ -45,11 +45,13 @@ class GwasConfig:
     #: decade-bracket endpoints: lambda in [10**low, 10**high]
     lambda_pow_low: float = LAMBDA_POW_LOW
     lambda_pow_high: float = LAMBDA_POW_HIGH
-    #: number of masked bisection iterations per bracketed root.  6 shrinks
-    #: a decade bracket to ~1.5% width -- comparable to the reference's
-    #: brentq rtol=0.1 starting point for Newton (pyx:179), which then
-    #: converges quadratically under the same safeguards
-    bisect_iters: int = 6
+    #: number of masked GEOMETRIC bisection iterations per bracketed root.
+    #: k iterations shrink a decade bracket to the RATIO 10^(1/2^k): 4 gives
+    #: ~15% relative width uniformly over the decade -- the same handoff
+    #: regime as the reference's brentq rtol=0.1 (pyx:179), after which
+    #: safeguarded Newton converges quadratically.  Each extra iteration
+    #: costs one full per-SNP-lambda d1 evaluation (~1 ms/block at n=10k).
+    bisect_iters: int = 4
     #: number of masked safeguarded-Newton iterations per root
     newton_iters: int = 10
     #: Newton relative-step convergence tolerance (pygemma_model.pyx:1411)

@@ -208,9 +208,15 @@ def solve_lambda(problem: LambdaProblem, cfg: GwasConfig):
         """Bisection + Newton + likelihood for one slot layout (B, r)."""
 
         def bisect_body(_, state):
-            # masked bisection (replaces brentq, pyx:176-182)
+            # masked GEOMETRIC bisection (replaces brentq, pyx:176-182).
+            # Brackets are decades, so the geometric midpoint sqrt(lo*hi)
+            # halves the bracket's log-width each step: after k iterations
+            # the bracket RATIO is 10^(1/2^k) uniformly over the decade --
+            # matching brentq's rtol=0.1 (a *relative* tolerance) even for
+            # roots near the decade's low edge, where linear bisection
+            # needs twice the iterations.
             lo, hi = state
-            mid = 0.5 * (lo + hi)
+            mid = jnp.sqrt(lo * hi)
             sm = _sign(evaluate(problem, mid, "d1", False))
             go_right = sm == flo  # root is in [mid, hi]
             return jnp.where(go_right, mid, lo), jnp.where(go_right, hi, mid)
@@ -218,7 +224,7 @@ def solve_lambda(problem: LambdaProblem, cfg: GwasConfig):
         lo, hi = jax.lax.fori_loop(
             0, cfg.bisect_iters, bisect_body, (lo0_r, hi0_r)
         )
-        lam_r = 0.5 * (lo + hi)
+        lam_r = jnp.sqrt(lo * hi)
 
         def newton_cond(state):
             # early exit once every lane has stopped -- updates are masked,

@@ -191,3 +191,77 @@ def test_newton_lambda_certified_by_reference_likelihood(data):
         np.testing.assert_allclose(df["tau"][g], tau, rtol=1e-10)
         np.testing.assert_allclose(df["F_wald"][g], F, rtol=1e-9)
         np.testing.assert_allclose(df["p_wald"][g], p, rtol=1e-9)
+
+
+REF_DATA = "/root/reference/data"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_DATA),
+                    reason="reference data not mounted")
+def test_real_mouse_hs1940_phenotypes_end_to_end(tmp_path):
+    """Real-data fixture run: the reference's bundled mouse_hs1940 phenotype
+    table (1,940 mice, NA-coded missing values, 6 phenotype columns;
+    reference data/mouse_hs1940.pheno.txt, used by
+    experiments/animal_gwas/run_gwas.py:67-96) drives the engine end to end.
+    Genotypes are simulated (the reference prunes its genotype blobs too,
+    .MISSING_LARGE_BLOBS) with real SNP names and anno positions, so this
+    exercises real-shape NA filtering, kinship, and anno-joined plotting."""
+    import pandas as pd
+
+    from pygemma_tpu import GwasConfig, pygemma
+    from pygemma_tpu import preprocess as pp
+    from pygemma_tpu.io.kinship import kinship_blocked
+    from pygemma_tpu.plotting import manhattan_plot
+
+    pheno = pd.read_csv(os.path.join(REF_DATA, "mouse_hs1940.pheno.txt"),
+                        sep="\t", header=None, na_values="NA")
+    anno = pd.read_csv(os.path.join(REF_DATA, "mouse_hs1940.anno.txt"),
+                       sep="\t", header=None,
+                       names=["rs", "pos", "chr", "cm"])
+    y_all = pheno[0].values.astype(np.float32)  # CD8 phenotype column
+    assert len(y_all) == 1940 and np.isnan(y_all).sum() > 0
+
+    # drop NA-phenotype individuals (run_gwas.py behavior)
+    keep = np.isfinite(y_all)
+    y = y_all[keep]
+    n = int(keep.sum())
+    p = 256
+    rng = np.random.default_rng(1940)
+    X = rng.binomial(2, rng.uniform(0.1, 0.5, p)[None, :],
+                     size=(n, p)).astype(np.float32)
+    X, names_kept, mask = pp.drop_zero_variance(
+        X, anno["rs"].tolist()[:p])
+    K = kinship_blocked(pp.standardize(X, eps=1e-6))
+    K = K + 1e-4 * np.eye(n, dtype=np.float32)
+
+    df = pygemma(y, X, None, K, snps=names_kept,
+                 config=GwasConfig(snp_block=256))
+    assert np.isfinite(df["p_wald"]).mean() > 0.95
+    lam_gc = pp.genomic_control_lambda(df["p_wald"])
+    assert 0.5 < lam_gc < 2.0  # null-ish simulated genotypes
+
+    # join real anno positions for the manhattan plot
+    df = df.merge(anno, left_on="SNPs", right_on="rs", how="left")
+    df["chrom"] = df["chr"]
+    manhattan_plot(df, save_path=str(tmp_path / "mh.png"))
+    assert os.path.exists(tmp_path / "mh.png")
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_DATA),
+                    reason="reference data not mounted")
+def test_real_bxd_covariates_fixture():
+    """The reference's BXD covariate table (data/BXD_covariates.txt) as a
+    real covariate fixture: tab-separated numeric columns with trailing
+    tabs, used directly as W."""
+    import pandas as pd
+
+    from pygemma_tpu import GwasConfig, pygemma
+
+    W_raw = pd.read_csv(os.path.join(REF_DATA, "BXD_covariates.txt"),
+                        sep="\t", header=None).dropna(axis=1, how="all")
+    W = np.c_[np.ones(len(W_raw)), W_raw.values.astype(np.float32)]
+    n = W.shape[0]
+    assert n == 198
+    y, G, _, K = oracle.simulate(n=n, p=24, c=1, seed=449)
+    df = pygemma(y, G, W, K, config=GwasConfig(dtype="float64", snp_block=24))
+    assert np.isfinite(df["p_wald"]).all()
