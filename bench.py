@@ -43,35 +43,38 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def _gen_geno_memmap(n: int, p: int, block: int = 8192) -> np.ndarray:
-    """Synthetic standardized genotypes as an on-disk float32 rawbin memmap
-    (written block-streamed; never fully materialized in RAM)."""
-    from pygemma_tpu.io import rawbin
+def _gen_geno_memmap(n: int, p: int, block: int = 8192):
+    """Synthetic genotypes as an on-disk int8 dosage memmap with per-column
+    standardization sidecar (io/quantized.py): 1/4 the bytes of float32 on
+    disk AND over the host->device tunnel; dequantized to the identical
+    standardized float32 on device."""
+    from pygemma_tpu.io.quantized import QuantizedMatrix
 
     prefix = os.path.join(CACHE, f"geno_n{n}_p{p}")
-    if not (os.path.exists(prefix + ".bin")
-            and os.path.exists(prefix + ".dim")):
+    if not (os.path.exists(prefix + ".i8")
+            and os.path.exists(prefix + ".scale.npz")):
         os.makedirs(CACHE, exist_ok=True)
-        log(f"writing memmap genotypes {n}x{p} ...")
+        log(f"writing int8 memmap genotypes {n}x{p} ...")
         t0 = time.time()
-        with open(prefix + ".bin", "wb") as f:
+        mu = np.empty(p, np.float32)
+        sd = np.empty(p, np.float32)
+        with open(prefix + ".i8", "wb") as f:
             rng = np.random.default_rng(0)
             for s in range(0, p, block):
                 b = min(block, p - s)
-                # 3-level dosage-like columns, standardized
-                Xb = rng.binomial(2, 0.3, size=(n, b)).astype(np.float32)
-                Xb = (Xb - Xb.mean(0)) / np.maximum(Xb.std(0), 1e-6)
-                # rawbin layout is row-major (n, p); write column blocks to
-                # a (p, n) file and memmap its transpose instead
-                f.write(np.ascontiguousarray(Xb.T).tobytes())
+                # 3-level dosages, (p, n) on disk so logical column blocks
+                # are contiguous reads
+                Gb = rng.binomial(2, 0.3, size=(b, n)).astype(np.int8)
+                xf = Gb.astype(np.float32)
+                mu[s:s + b] = xf.mean(1)
+                sd[s:s + b] = np.maximum(xf.std(1), 1e-6)
+                f.write(Gb.tobytes())
         with open(prefix + ".dim", "w") as f:
             f.write(f"{p} {n}\n")
+        np.savez(prefix + ".scale.npz", mu=mu, sd=sd)
         log(f"genotype file written in {time.time()-t0:.1f}s "
-            f"({os.path.getsize(prefix + '.bin') / 2**30:.1f} GiB)")
-    from pygemma_tpu.io import rawbin as rb
-
-    Xt = rb.read_rawbin(prefix, mmap=True)  # (p, n) memmap
-    return Xt.T  # (n, p) transposed view; column slices are contiguous rows
+            f"({os.path.getsize(prefix + '.i8') / 2**30:.1f} GiB)")
+    return QuantizedMatrix.open_rawbin(prefix)
 
 
 def _eigh_cached(K_builder, n: int, tag: str, dtype=np.float32,
@@ -137,7 +140,7 @@ def bench_large():
         log(f"building kinship from {k_snps} SNPs on device ...")
         t0 = time.time()
         K = kinship_blocked(np.asarray(X[:, :k_snps]), block=8192)
-        K += (1e-3 * np.eye(n, dtype=np.float32))
+        K = K + (1e-3 * np.eye(n, dtype=np.float32))
         log(f"kinship: {time.time()-t0:.1f}s")
         return K
 
@@ -171,6 +174,10 @@ def bench_large():
     rotate(U_dev, jnp.asarray(y[:, None])).block_until_ready()
     rotate(U_dev, jnp.asarray(np.asarray(X[:, :block]))).block_until_ready()
     pygemma(y, np.asarray(X[:, :block]), W, ev, eigen=False, config=cfg)
+    # warm the int8 dequantization executable at the streamed block shape
+    from pygemma_tpu.io.streaming import SnpBlockStreamer
+
+    next(iter(SnpBlockStreamer(X, block)))[2].block_until_ready()
     del U_dev
     log(f"warmup (compiles included): {time.time()-t0:.1f}s")
 
@@ -306,6 +313,12 @@ def bench_standard():
 
 
 def main():
+    if os.environ.get("PYGEMMA_BENCH_CPU"):
+        # smoke-test knob: the axon TPU plugin overrides JAX_PLATFORMS at
+        # register time, so pin CPU via the config API after import
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     from pygemma_tpu.api import _enable_compile_cache
 
     _enable_compile_cache()

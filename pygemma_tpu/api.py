@@ -188,7 +188,15 @@ def pygemma(
     Y = np.asarray(Y, dtype=dtype)
     if Y.ndim == 1:
         Y = Y[:, None]
-    X = np.asarray(X, dtype=dtype)
+    from .io.quantized import QuantizedMatrix
+
+    if isinstance(X, QuantizedMatrix):
+        # int8 codes stream to device and dequantize there (io/quantized.py);
+        # never materialize the float32 matrix on host
+        if dtype != np.float32:
+            raise ValueError("quantized genotype streaming is float32-only")
+    else:
+        X = np.asarray(X, dtype=dtype)
     n, p = X.shape
     if W is None:
         W = np.ones((n, 1), dtype=dtype)
@@ -198,6 +206,8 @@ def pygemma(
 
     if not disable_checks:
         for name, arr in (("X", X), ("Y", Y), ("W", W)):
+            if isinstance(arr, QuantizedMatrix):
+                continue  # int8 codes cannot hold NaN
             if np.isnan(arr).any():
                 raise ValueError(f"NaNs present in {name}")
 

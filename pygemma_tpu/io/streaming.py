@@ -14,6 +14,8 @@ from typing import Iterator, Optional, Tuple
 import jax
 import numpy as np
 
+from .quantized import QuantizedMatrix, dequantize_device
+
 
 class SnpBlockStreamer:
     """Iterate (start, stop, device_block) with one-block prefetch.
@@ -32,9 +34,25 @@ class SnpBlockStreamer:
 
     def _fetch(self, start: int):
         stop = min(start + self.block, self.p)
+        pad = self.block - (stop - start)
+        if isinstance(self.X, QuantizedMatrix):
+            # ship int8 codes + tiny (B,) affine vectors; dequantize on
+            # device (4x less tunnel traffic than float32 blocks)
+            g, mu, sd = self.X.quant_block(start, stop)
+            if pad:
+                g = np.pad(g, ((0, 0), (0, pad)))
+                mu = np.pad(mu, (0, pad))
+                sd = np.pad(sd, (0, pad), constant_values=1.0)
+            xb = dequantize_device(
+                jax.device_put(g, self.device),
+                jax.device_put(mu, self.device),
+                jax.device_put(sd, self.device),
+                missing_code=self.X.missing_code,
+            )
+            return start, stop, xb
         xb = np.asarray(self.X[:, start:stop], dtype=self.dtype)
-        if xb.shape[1] < self.block:
-            xb = np.pad(xb, ((0, 0), (0, self.block - xb.shape[1])))
+        if pad:
+            xb = np.pad(xb, ((0, 0), (0, pad)))
         return start, stop, jax.device_put(xb, self.device)
 
     def __iter__(self) -> Iterator[Tuple[int, int, jax.Array]]:

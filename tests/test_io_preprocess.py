@@ -240,3 +240,62 @@ def test_pygemma_resume_rejects_changed_settings(tmp_path):
     pygemma(y, G, W, K, config=cfg, run_dir=rd)
     with _pytest.raises(ValueError, match="different"):
         pygemma(y, G, W, K, config=cfg, run_dir=rd, tests=("wald", "score"))
+
+
+def test_quantized_matrix_host_and_device_paths(tmp_path, rng):
+    """QuantizedMatrix: host slices equal standardized f32; the streamer's
+    on-device dequantization matches them; rawbin_i8 round-trips; missing
+    codes mean-impute (standardized value 0)."""
+    from pygemma_tpu.io.quantized import (MISSING_CODE, QuantizedMatrix,
+                                          write_rawbin_i8)
+
+    n, p = 32, 21
+    G = rng.integers(0, 3, size=(n, p)).astype(np.int8)
+    G[1, 3] = MISSING_CODE
+    G[7, 3] = MISSING_CODE
+    Q = QuantizedMatrix.from_dosages(G, mode="standardize")
+    assert Q.shape == (n, p) and Q.dtype == np.float32
+
+    # host oracle: mean-impute then standardize
+    Xf = G.astype(np.float32)
+    Xf[G == MISSING_CODE] = np.nan
+    mu = np.nanmean(Xf, axis=0)
+    Xf = np.where(np.isnan(Xf), mu, Xf)
+    Xs = (Xf - Xf.mean(0)) / np.maximum(Xf.std(0), 1e-6)
+    np.testing.assert_allclose(Q[:, :], Xs, atol=2e-5)
+    np.testing.assert_allclose(Q[:, 3:9], Xs[:, 3:9], atol=2e-5)
+    assert abs(Q[:, 3][1]) < 1e-6  # missing -> standardized 0
+
+    # streamer device path (int8 transfer + on-device affine)
+    blocks = list(SnpBlockStreamer(Q, block=16))
+    dev = np.concatenate([np.asarray(b[2]) for b in blocks], axis=1)[:, :p]
+    np.testing.assert_allclose(dev, Xs, atol=2e-5)
+
+    # rawbin_i8 persistence round-trip ((p, n) layout on disk)
+    prefix = str(tmp_path / "q")
+    write_rawbin_i8(prefix, Q.data.T, Q.mu, Q.sd)
+    Q2 = QuantizedMatrix.open_rawbin(prefix)
+    np.testing.assert_allclose(Q2[:, :], Xs, atol=2e-5)
+
+
+def test_pygemma_quantized_matches_float32(rng):
+    """End-to-end: the public driver on a QuantizedMatrix reproduces the
+    float32-genotype scan (the int8 codes + affine are an exact encoding)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    import oracle  # noqa: F401
+
+    from pygemma_tpu import GwasConfig, pygemma
+    from pygemma_tpu.io.quantized import QuantizedMatrix
+
+    n, p = 96, 40
+    G = rng.integers(0, 3, size=(n, p)).astype(np.int8)
+    Q = QuantizedMatrix.from_dosages(G, mode="standardize")
+    Xs = Q[:, :]
+    K = (Xs @ Xs.T / p + 1e-3 * np.eye(n)).astype(np.float32)
+    y = (Xs[:, 0] * 0.4 + rng.normal(size=n)).astype(np.float32)
+    cfg = GwasConfig(snp_block=16)
+    df_q = pygemma(y, Q, None, K, config=cfg)
+    df_f = pygemma(y, Xs, None, K, config=cfg)
+    np.testing.assert_allclose(df_q["beta"], df_f["beta"], rtol=1e-5)
+    np.testing.assert_allclose(df_q["p_wald"], df_f["p_wald"], rtol=1e-4)
