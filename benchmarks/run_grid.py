@@ -28,7 +28,21 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_config(n, p, c, rep, include_cpu=True, cpu_snps=32):
+def _time_rival(fn, *args, **kw):
+    """(seconds, ok) with the reference's NaN-on-failure semantics
+    (benchmarks.py:281-343 wraps every rival in try/except -> NaN)."""
+    t0 = time.time()
+    try:
+        out = fn(*args, **kw)
+        if out is None:  # binary not installed -> skip, not fail
+            return np.nan, "absent"
+        return round(time.time() - t0, 4), "ok"
+    except Exception as e:
+        print(f"rival {fn.__name__} failed: {e}", file=sys.stderr)
+        return np.nan, "error"
+
+
+def run_config(n, p, c, rep, include_cpu=True, cpu_snps=32, rivals=False):
     from baselines.cpu_pygemma import run_gwas as cpu_run
     from pygemma_tpu import GwasConfig, pygemma
     from pygemma_tpu.sim import simulate_gwas
@@ -51,7 +65,7 @@ def run_config(n, p, c, rep, include_cpu=True, cpu_snps=32):
                 (U.T @ d.X[:, :sub].astype(np.float64)))
         t_cpu_per_snp = (time.time() - t0) / sub
 
-    return {
+    row = {
         "sample_size": n,
         "num_snps": p,
         "num_covars": c,
@@ -62,9 +76,33 @@ def run_config(n, p, c, rep, include_cpu=True, cpu_snps=32):
         "speedup_vs_cpu_core": round(t_cpu_per_snp * p / t_tpu, 2),
         "frac_finite_p": round(float(np.isfinite(df["p_wald"]).mean()), 4),
     }
+    if rivals:
+        # the reference's rival-comparison table (GEMMA / GCTA-mlma /
+        # fastGWA / Regenie timed over the same subsampled cohort,
+        # experiments/benchmarks/subsample.R:90-126, benchmarks.py:177-228)
+        from pygemma_tpu import compare
+
+        for name, fn, args in (
+            ("gemma", compare.run_gemma, (d.Y, d.X, W, d.K)),
+            ("gcta_mlma", compare.run_gcta, (d.Y, d.X, W, d.K)),
+            ("fastgwa", compare.run_fastgwa, (d.Y, d.X, W, d.K)),
+            ("regenie", compare.run_regenie, (d.Y, d.X, W)),
+        ):
+            secs, status = _time_rival(fn, *args)
+            row[f"{name}_time"] = secs
+            row[f"{name}_status"] = status
+            row[f"speedup_vs_{name}"] = (
+                round(secs / t_tpu, 2) if np.isfinite(secs) else np.nan)
+    return row
 
 
 def main():
+    if os.environ.get("PYGEMMA_BENCH_CPU"):
+        # the axon TPU plugin overrides JAX_PLATFORMS at register time;
+        # pin CPU via the config API after import (see bench.py)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="results.csv")
     ap.add_argument("--samples", default="200,500,1000")
@@ -72,6 +110,9 @@ def main():
     ap.add_argument("--covars", default="0,3")
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--no-cpu", action="store_true")
+    ap.add_argument("--rivals", action="store_true",
+                    help="also time GEMMA/GCTA/fastGWA/Regenie when their "
+                         "binaries exist (NaN + status column otherwise)")
     args = ap.parse_args()
 
     grid = list(itertools.product(
@@ -88,7 +129,8 @@ def main():
     write_header = not os.path.exists(args.out)
     for n, p, c, rep in grid:
         try:
-            row = run_config(n, p, c, rep, include_cpu=not args.no_cpu)
+            row = run_config(n, p, c, rep, include_cpu=not args.no_cpu,
+                             rivals=args.rivals)
         except Exception as e:  # NaN row, run continues (reference
             # benchmarks.py:281-343 wraps rivals the same way)
             print(f"config ({n},{p},{c},{rep}) failed: {e}", file=sys.stderr)

@@ -81,15 +81,51 @@ def gd449_multi(scale):
 
 
 def ukb_synth(scale):
-    """UKB-scale synthetic: 50k x 100k, streamed SNP blocks."""
-    from pygemma_tpu import GwasConfig, pygemma
-    from pygemma_tpu.sim import simulate_gwas
+    """UKB-scale synthetic: 50k x 100k, streamed SNP blocks.
+
+    The cohort is generated straight to an on-disk 2-bit packed memmap
+    (io/packed.py; ~1.25 GB at full scale, never a float64 matrix in RAM --
+    at scale=1 a dense simulator intermediate would be ~40 GB) and the
+    kinship is the exact low-rank GRM over a SNP subset, so the scan
+    streams PLINK-density blocks and the eigendecomposition never builds
+    the n x n matrix on host.
+    """
+    from pygemma_tpu import GwasConfig, LowRankKinship, pygemma
+    from pygemma_tpu.io.packed import PackedMatrix, pack_codes
 
     n, p = int(50000 * scale), int(100000 * scale)
-    print(f"[ukb_synth] n={n} p={p} (scale={scale})")
-    d = simulate_gwas(n=n, p=p, n_causal=50, pve=0.25, h2_poly=0.35, seed=50)
+    k_snps = min(16384, max(64, n // 2), p)
+    print(f"[ukb_synth] n={n} p={p} kinship_snps={k_snps} (scale={scale})")
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".ukb_synth_cache")
+    os.makedirs(cache, exist_ok=True)
+    prefix = os.path.join(cache, f"geno_n{n}_p{p}")
+    if not os.path.exists(prefix + ".2b"):
+        rng = np.random.default_rng(50)
+        mu = np.empty(p, np.float32)
+        sd = np.empty(p, np.float32)
+        block = 4096
+        with open(prefix + ".2b", "wb") as f:
+            for s in range(0, p, block):
+                b = min(block, p - s)
+                Gb = rng.binomial(2, 0.3, size=(b, n)).astype(np.uint8)
+                xf = Gb.astype(np.float32)
+                mu[s:s + b] = xf.mean(1)
+                sd[s:s + b] = np.maximum(xf.std(1), 1e-6)
+                f.write(np.ascontiguousarray(pack_codes(Gb.T).T).tobytes())
+        with open(prefix + ".dim", "w") as f:
+            f.write(f"{p} {n}\n")
+        np.savez(prefix + ".scale.npz", mu=mu, sd=sd)
+    X = PackedMatrix.open_rawbin(prefix)
+    rng = np.random.default_rng(51)
+    causal = rng.choice(p, size=50, replace=False)
+    y = (np.asarray(X[:, causal]).sum(1) * np.sqrt(0.25 / 50)
+         + rng.standard_normal(n) * np.sqrt(0.75)).astype(np.float32)
+    W = np.c_[np.ones(n), rng.standard_normal((n, 2))].astype(np.float32)
+    lrk = LowRankKinship(X.cols(0, k_snps), eps=1e-3)
     t0 = time.time()
-    df = pygemma(d.Y, d.X, d.W, d.K, config=GwasConfig(snp_block=4096))
+    df = pygemma(y, X, W, lrk, config=GwasConfig(snp_block=4096),
+                 verbose=1)
     _report("ukb_synth", df, time.time() - t0)
 
 

@@ -10,10 +10,12 @@ __version__ = "0.1.0"
 from . import compare, io, linreg, plotting, preprocess, sim  # noqa: F401
 from .api import estimate_lambda, pygemma
 from .config import GwasConfig, from_env
+from .core.lowrank import LowRankKinship
 
 __all__ = [
     "pygemma",
     "estimate_lambda",
+    "LowRankKinship",
     "GwasConfig",
     "from_env",
     "io",

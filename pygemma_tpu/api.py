@@ -31,6 +31,14 @@ from .utils.logging import StageLogger
 
 _CACHE_SET = False
 
+#: single-entry device-resident eigendecomposition cache, keyed by the
+#: kinship fingerprint.  On tunneled TPU backends re-uploading a 20k x 20k
+#: eigenbasis costs ~20 s at ~80 MB/s; repeated ``pygemma`` calls against
+#: the same kinship (multi-phenotype studies, warmup-then-measure
+#: benchmarks, resumed runs) reuse the on-device (ev, U) instead.  Bounded
+#: to one entry so stale eigenbases never accumulate in HBM.
+_EIGEN_DEV_CACHE: dict = {}
+
 
 def _enable_compile_cache() -> None:
     """Persist XLA compilations across processes: the eigh/assoc graphs are
@@ -122,6 +130,13 @@ def _kinship_fingerprint(Karr: np.ndarray, max_samples: int = 4096) -> str:
     values can never silently reuse each other's cached eigenbasis."""
     import hashlib
 
+    from .core.lowrank import LowRankKinship
+
+    if isinstance(Karr, LowRankKinship):
+        h = hashlib.blake2b(digest_size=16)
+        h.update(b"lowrank|")
+        h.update(Karr.fingerprint_bytes())
+        return h.hexdigest()
     h = hashlib.blake2b(digest_size=16)
     h.update(repr((Karr.shape, Karr.dtype.str)).encode())
     stride = max(1, int(np.ceil(np.sqrt(Karr.size / max_samples))))
@@ -188,11 +203,14 @@ def pygemma(
     Y = np.asarray(Y, dtype=dtype)
     if Y.ndim == 1:
         Y = Y[:, None]
+    from .io.packed import PackedMatrix
     from .io.quantized import QuantizedMatrix
 
-    if isinstance(X, QuantizedMatrix):
-        # int8 codes stream to device and dequantize there (io/quantized.py);
-        # never materialize the float32 matrix on host
+    _streamed_types = (QuantizedMatrix, PackedMatrix)
+    if isinstance(X, _streamed_types):
+        # int8 / 2-bit codes stream to device and dequantize there
+        # (io/quantized.py, io/packed.py); never materialize the float32
+        # matrix on host
         if dtype != np.float32:
             raise ValueError("quantized genotype streaming is float32-only")
     else:
@@ -206,12 +224,25 @@ def pygemma(
 
     if not disable_checks:
         for name, arr in (("X", X), ("Y", Y), ("W", W)):
-            if isinstance(arr, QuantizedMatrix):
-                continue  # int8 codes cannot hold NaN
+            if isinstance(arr, _streamed_types):
+                # int8 codes cannot hold NaN, but a corrupt affine sidecar
+                # (NaN mu, non-finite/zero sd) would propagate NaN/Inf into
+                # every dequantized value
+                if (np.isnan(arr.mu).any()
+                        or not np.all(np.isfinite(arr.sd))
+                        or (arr.sd <= 0).any()):
+                    raise ValueError(
+                        f"invalid quantization sidecar on {name}: "
+                        "mu must be finite and sd finite-positive")
+                continue
             if np.isnan(arr).any():
                 raise ValueError(f"NaNs present in {name}")
 
+    from .core.lowrank import LowRankKinship
+
     if Z is not None and eigen:
+        if isinstance(K, LowRankKinship):
+            raise ValueError("Z loading transform requires a dense K")
         K = np.asarray(loading_transform(jnp.asarray(Z, dtype), jnp.asarray(K, dtype)))
 
     # --- optional multi-chip mesh execution --------------------------------
@@ -233,12 +264,14 @@ def pygemma(
 
     ckpt = None
     eig_key = ""
+    if eigen and K is not None and not isinstance(K, jax.Array):
+        K_for_key = K if isinstance(K, LowRankKinship) else np.asarray(K)
+        eig_key = f"{_kinship_fingerprint(K_for_key)}|{cfg.dtype}"
     if run_dir is not None:
         from .utils.checkpoint import RunCheckpoint
 
         ckpt = RunCheckpoint(run_dir)
         ckpt.clean_stale()
-        eig_key = f"{_kinship_fingerprint(np.asarray(K))}|{cfg.dtype}"
         # Saved blocks are only resumable under the same settings.
         run_meta = {"tests": list(cfg.tests), "grid": cfg.grid,
                     "dtype": cfg.dtype, "de": de, "snp_block": cfg.snp_block}
@@ -254,24 +287,47 @@ def pygemma(
 
     # --- eigendecomposition + rotation (lmm/lmm.py:151-167, 243-246) -------
     if eigen:
-        cached = ckpt.load_eigen(eig_key) if ckpt is not None else None
-        if cached is not None:
-            ev_dev = jnp.asarray(cached[0])
-            U_dev = jnp.asarray(cached[1])
+        dev_cached = _EIGEN_DEV_CACHE.get(eig_key) if eig_key else None
+        if dev_cached is not None and mesh is None:
+            ev_dev, U_dev = dev_cached
         else:
-            with log.stage("eigendecomposition"):
-                if mesh is not None and cfg.eigh_backend != "host":
-                    # distributed eigh: K sharded over the sample axis
-                    with mesh:
-                        ev_dev, U_dev = eigh_fn(jnp.asarray(K, dtype))
-                else:
-                    ev_dev, U_dev = auto_eigendecompose(
-                        np.asarray(K, dtype), cfg.eigh_backend, dtype
-                    )
-                if hasattr(ev_dev, "block_until_ready"):
-                    ev_dev.block_until_ready()
-            if ckpt is not None:
-                ckpt.save_eigen(np.asarray(ev_dev), np.asarray(U_dev), eig_key)
+            cached = ckpt.load_eigen(eig_key) if ckpt is not None else None
+            if cached is not None:
+                ev_dev = jnp.asarray(cached[0])
+                U_dev = jnp.asarray(cached[1])
+            else:
+                with log.stage("eigendecomposition"):
+                    if isinstance(K, LowRankKinship):
+                        from .core.lowrank import lowrank_eigendecompose
+
+                        ev_dev, U_dev = lowrank_eigendecompose(
+                            K, cfg.eigh_backend, dtype
+                        )
+                    elif mesh is not None and cfg.eigh_backend != "host":
+                        # distributed eigh: K sharded over the sample axis
+                        with mesh:
+                            ev_dev, U_dev = eigh_fn(jnp.asarray(K, dtype))
+                    else:
+                        ev_dev, U_dev = auto_eigendecompose(
+                            np.asarray(K, dtype), cfg.eigh_backend, dtype
+                        )
+                    if hasattr(ev_dev, "block_until_ready"):
+                        ev_dev.block_until_ready()
+                if ckpt is not None:
+                    ckpt.save_eigen(np.asarray(ev_dev), np.asarray(U_dev),
+                                    eig_key)
+            if eig_key and mesh is None:
+                _EIGEN_DEV_CACHE.clear()
+                _EIGEN_DEV_CACHE[eig_key] = (jnp.asarray(ev_dev),
+                                             jnp.asarray(U_dev))
+        if mesh is not None:
+            # an eigenbasis computed on a single device (host path, lowrank
+            # path) must be replicated onto the mesh before sharded use
+            from .parallel.mesh import replicated as _replicated
+
+            rep = _replicated(mesh)
+            ev_dev = jax.device_put(ev_dev, rep)
+            U_dev = jax.device_put(U_dev, rep)
         with log.stage("rotation of W, Y"):
             W_dev = rotate(U_dev, jnp.asarray(W))
             Y_dev = rotate(U_dev, jnp.asarray(Y))
@@ -353,11 +409,24 @@ def _scan_phenos_looped(X, Y_dev, W_dev, ev_dev, U_dev, cfg, de, n, p, B, log,
                 blk["F_score"] = d["F_score"][:m]
             return blk
 
-        # Without a checkpoint directory the loop only *dispatches*: device
-        # results are pulled after the last block so no host<->device sync
-        # sits between blocks (each sync costs ~34 ms on tunneled backends).
-        # With run_dir, blocks are materialized eagerly for durability.
-        pending = []  # (m, stacked device array) when deferring
+        # The loop only *dispatches*: device results are pulled after the
+        # last block (or by a background writer thread when run_dir
+        # durability is on) so no host<->device sync sits between
+        # dispatches -- each sync costs ~34 ms on tunneled backends, and an
+        # eager pull would also serialize device compute with host work.
+        pending = []  # (m, stacked device array) | ("blk", dict) | futures
+        writer = None
+        if ckpt is not None:
+            import concurrent.futures as _cf
+
+            # one writer: pulls a finished block and persists it while the
+            # main thread keeps dispatching the next blocks
+            writer = _cf.ThreadPoolExecutor(max_workers=1)
+
+        def _pull_save(start_, m_, stacked_):
+            blk = block_to_cols(np.asarray(stacked_), m_)
+            ckpt.save_block(ph * p + start_, blk)
+            return blk
 
         with log.stage(f"association scan ({p} SNPs, n={n})"):
             # double-buffered host->device streaming: slice/pad/transfer of
@@ -366,26 +435,29 @@ def _scan_phenos_looped(X, Y_dev, W_dev, ev_dev, U_dev, cfg, de, n, p, B, log,
             # column-block iterator, lmm/lmm.py:427-436)
             from .io.streaming import SnpBlockStreamer
 
-            streamer = SnpBlockStreamer(X, B, dtype=dtype) \
-                if mesh is None else None
-            stream_iter = iter(streamer) if streamer is not None else None
+            if mesh is not None:
+                # multi-chip: blocks stream under the snp sharding, so the
+                # double-buffered int8/2-bit transfer path carries over
+                # unchanged from the single-device scan
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+
+                vec_sharding = NamedSharding(mesh, P(cfg.snp_axis))
+                streamer = SnpBlockStreamer(
+                    X, B, dtype=dtype, shardings=(xb_sharding, vec_sharding)
+                )
+            else:
+                streamer = SnpBlockStreamer(X, B, dtype=dtype)
+            stream_iter = iter(streamer)
             for start in log.track(range(0, p, B), "Testing SNPs..."):
                 stop = min(start + B, p)
                 m = stop - start
-                prefetched = next(stream_iter) if stream_iter is not None else None
+                prefetched = next(stream_iter)
                 if ckpt is not None and ckpt.has_block(ph * p + start):
-                    blk = ckpt.load_block(ph * p + start)
-                    for k in cols:
-                        cols[k].append(blk[k])
+                    pending.append(("blk", ckpt.load_block(ph * p + start)))
                     continue
-                if prefetched is None:
-                    xb = X[:, start:stop]
-                    if xb.shape[1] < B:  # pad final block to the static shape
-                        xb = np.pad(xb, ((0, 0), (0, B - xb.shape[1])))
-                else:
-                    xb = prefetched[2]
+                xb_dev = prefetched[2]
                 if mesh is not None:
-                    xb_dev = jax.device_put(np.asarray(xb), xb_sharding)
                     if U_dev is not None:
                         xb_dev = rot_fn(jnp.asarray(U_dev), xb_dev)
                     args = (ev_dev, W_dev, y_dev, xb_dev)
@@ -393,24 +465,27 @@ def _scan_phenos_looped(X, Y_dev, W_dev, ev_dev, U_dev, cfg, de, n, p, B, log,
                         args = args + (null_arr,)
                     stacked = assoc_fn(*args)  # (n_keys, B), snp-sharded
                 else:
-                    xb_dev = jnp.asarray(xb)
                     if U_dev is not None:
                         xb_dev = rotate(U_dev, xb_dev)
                     stacked = _assoc_block_jit(
                         ev_dev, W_dev, y_dev, xb_dev, cfg, null_arr, de
                     )
-                if ckpt is None:
+                if writer is not None:
+                    pending.append(writer.submit(_pull_save, start, m, stacked))
+                else:
                     pending.append((m, stacked))
-                    continue
-                blk = block_to_cols(np.asarray(stacked), m)
-                ckpt.save_block(ph * p + start, blk)
-                for k in cols:
-                    cols[k].append(blk[k])
 
-            for m, stacked in pending:
-                blk = block_to_cols(np.asarray(stacked), m)
+            for item in pending:
+                if isinstance(item, tuple) and item[0] == "blk":
+                    blk = item[1]
+                elif isinstance(item, tuple):
+                    blk = block_to_cols(np.asarray(item[1]), item[0])
+                else:
+                    blk = item.result()  # writer future
                 for k in cols:
                     cols[k].append(blk[k])
+            if writer is not None:
+                writer.shutdown()
 
         out = {k: np.concatenate(v) if v else np.array([]) for k, v in cols.items()}
         _host_pvalues(out, n, c, cfg.tests)

@@ -140,6 +140,155 @@ def run_gcta(
     return df.rename(columns={"p": "p_wald", "b": "beta", "se": "se_beta"})
 
 
+def write_sparse_grm(prefix: str, K: np.ndarray, cutoff: float = 0.05,
+                     sample_ids=None) -> int:
+    """Write K thresholded to GCTA's sparse-GRM text format.
+
+    fastGWA consumes a sparse GRM (``--grm-sparse``, made upstream by
+    ``gcta --make-bK-sparse``; reference experiments/benchmarks/
+    subsample.R:95-117): ``<prefix>.grm.sp`` holds "i j value" lines
+    (0-based, j <= i) for |K_ij| >= cutoff plus all diagonals, and
+    ``<prefix>.grm.id`` the FID/IID table.  Returns the entry count.
+    """
+    K = np.asarray(K, np.float32)
+    n = K.shape[0]
+    sample_ids = sample_ids or [f"id{i}" for i in range(n)]
+    il, jl = np.tril_indices(n)
+    vals = K[il, jl]
+    keep = (np.abs(vals) >= cutoff) | (il == jl)
+    with open(prefix + ".grm.sp", "w") as f:
+        for i, j, v in zip(il[keep], jl[keep], vals[keep]):
+            f.write(f"{i}\t{j}\t{v:.6f}\n")
+    with open(prefix + ".grm.id", "w") as f:
+        for i, sid in enumerate(sample_ids):
+            f.write(f"fam{i}\t{sid}\n")
+    return int(keep.sum())
+
+
+def run_fastgwa(
+    Y: np.ndarray,
+    X: np.ndarray,
+    W: Optional[np.ndarray],
+    K: np.ndarray,
+    snps: Optional[List[str]] = None,
+    workdir: Optional[str] = None,
+    threads: int = 1,
+    sparse_cutoff: float = 0.05,
+) -> Optional[pd.DataFrame]:
+    """Run GCTA's fastGWA-mlm on the given matrices; None without a binary.
+
+    The reference's headline comparisons time fastGWA as a rival
+    (experiments/benchmarks/subsample.R:112-126: ``gcta --grm-sparse
+    <sp_grm> --fastGWA-mlm --pheno ... [--qcovar ...]``); this bridge
+    reproduces that invocation from in-memory matrices, thresholding the
+    dense K into the sparse GRM fastGWA expects.  Output columns are
+    normalized to (beta, se_beta, p_wald).
+    """
+    binary = find_gcta()
+    if binary is None:
+        return None
+    from .io.plink import write_bed
+
+    n, p = X.shape
+    snps = snps or [f"rs{i}" for i in range(p)]
+    tmp = workdir or tempfile.mkdtemp(prefix="fastgwa_bridge_")
+    os.makedirs(tmp, exist_ok=True)
+    bfile = os.path.join(tmp, "geno")
+    write_bed(bfile, np.clip(np.round(np.nan_to_num(X)), 0, 2), snp_ids=snps)
+    write_sparse_grm(os.path.join(tmp, "grm_sp"), K, cutoff=sparse_cutoff)
+    with open(os.path.join(tmp, "pheno.tsv"), "w") as f:
+        for i, v in enumerate(np.asarray(Y).reshape(-1)):
+            f.write(f"fam{i}\tid{i}\t{v:.10g}\n")
+    cmd = [binary, "--bfile", bfile, "--grm-sparse",
+           os.path.join(tmp, "grm_sp"), "--fastGWA-mlm",
+           "--pheno", os.path.join(tmp, "pheno.tsv"),
+           "--thread-num", str(threads),
+           "--out", os.path.join(tmp, "output")]
+    if W is not None and W.shape[1] > 1:
+        with open(os.path.join(tmp, "covariates.tsv"), "w") as f:
+            for i in range(n):
+                row = "\t".join(f"{v:.10g}" for v in W[i, 1:])
+                f.write(f"fam{i}\tid{i}\t{row}\n")
+        cmd += ["--qcovar", os.path.join(tmp, "covariates.tsv")]
+    res = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    out = os.path.join(tmp, "output.fastGWA")
+    if not os.path.exists(out):
+        raise RuntimeError(
+            f"fastGWA failed: {(res.stdout + res.stderr)[-2000:]}")
+    df = pd.read_csv(out, sep="\t")
+    return df.rename(columns={"P": "p_wald", "BETA": "beta",
+                              "SE": "se_beta"})
+
+
+def find_regenie() -> Optional[str]:
+    return os.environ.get("REGENIE") or shutil.which("regenie")
+
+
+def run_regenie(
+    Y: np.ndarray,
+    X: np.ndarray,
+    W: Optional[np.ndarray],
+    snps: Optional[List[str]] = None,
+    workdir: Optional[str] = None,
+    threads: int = 1,
+    bsize: int = 1000,
+) -> Optional[pd.DataFrame]:
+    """Run Regenie step 1 + step 2 on the given matrices; None without a
+    binary.
+
+    Mirrors the reference's two-step invocation (experiments/benchmarks/
+    subsample.R regenie section: ``--step 1 --bed ... --bsize 1000 --lowmem``
+    then ``--step 2 --pred <out>_pred.list``); Regenie replaces the GRM
+    with step-1 whole-genome ridge predictions, so no kinship argument.
+    Output columns are normalized to (beta, se_beta, p_wald).
+    """
+    binary = find_regenie()
+    if binary is None:
+        return None
+    from .io.plink import write_bed
+
+    n, p = X.shape
+    snps = snps or [f"rs{i}" for i in range(p)]
+    tmp = workdir or tempfile.mkdtemp(prefix="regenie_bridge_")
+    os.makedirs(tmp, exist_ok=True)
+    bfile = os.path.join(tmp, "geno")
+    write_bed(bfile, np.clip(np.round(np.nan_to_num(X)), 0, 2), snp_ids=snps)
+    with open(os.path.join(tmp, "pheno.tsv"), "w") as f:
+        f.write("FID\tIID\tY1\n")
+        for i, v in enumerate(np.asarray(Y).reshape(-1)):
+            f.write(f"fam{i}\tid{i}\t{v:.10g}\n")
+    covar_args: List[str] = []
+    if W is not None and W.shape[1] > 1:
+        with open(os.path.join(tmp, "covar.tsv"), "w") as f:
+            f.write("FID\tIID\t" + "\t".join(
+                f"V{j}" for j in range(1, W.shape[1])) + "\n")
+            for i in range(n):
+                row = "\t".join(f"{v:.10g}" for v in W[i, 1:])
+                f.write(f"fam{i}\tid{i}\t{row}\n")
+        covar_args = ["--covarFile", os.path.join(tmp, "covar.tsv")]
+    out = os.path.join(tmp, "output")
+    common = ["--bed", bfile, "--phenoFile", os.path.join(tmp, "pheno.tsv"),
+              "--threads", str(threads), "--bsize", str(bsize)] + covar_args
+    step1 = [binary, "--step", "1", *common, "--lowmem",
+             "--lowmem-prefix", os.path.join(tmp, "tmp_rg"), "--out", out]
+    res1 = subprocess.run(step1, capture_output=True, text=True,
+                          timeout=3600)
+    pred = out + "_pred.list"
+    if not os.path.exists(pred):
+        raise RuntimeError(
+            f"regenie step 1 failed: {(res1.stdout + res1.stderr)[-2000:]}")
+    step2 = [binary, "--step", "2", *common, "--pred", pred, "--out", out]
+    res2 = subprocess.run(step2, capture_output=True, text=True,
+                          timeout=3600)
+    assoc = out + "_Y1.regenie"
+    if not os.path.exists(assoc):
+        raise RuntimeError(
+            f"regenie step 2 failed: {(res2.stdout + res2.stderr)[-2000:]}")
+    df = pd.read_csv(assoc, sep=r"\s+")
+    df["p_wald"] = 10.0 ** (-df["LOG10P"].astype(float))
+    return df.rename(columns={"BETA": "beta", "SE": "se_beta"})
+
+
 def find_rscript() -> Optional[str]:
     return os.environ.get("RSCRIPT") or shutil.which("Rscript")
 

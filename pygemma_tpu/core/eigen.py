@@ -87,14 +87,22 @@ def _device_hbm_bytes() -> int:
         return 0
 
 
+#: largest n the backend's monolithic jnp.linalg.eigh graph is known to
+#: compile (measured on the axon remote-compile service: 8,192 ok in ~5 s
+#: warm, 12,288+ crashes the compile helper with HTTP 500)
+DIRECT_EIGH_COMPILE_MAX = 8192
+
+
 def device_eigh_admissible(n: int, hbm: int, n_shards: int = 1) -> bool:
-    """Whether an n x n eigh fits the HBM actually available to it.
+    """Whether a MONOLITHIC n x n device eigh is runnable: it must both
+    fit HBM (~30 n^2 floats of QDWH scratch) and stay under the remote
+    compiler's graph-size ceiling (DIRECT_EIGH_COMPILE_MAX, single shard).
 
     ``n_shards`` is the number of devices the *caller* shards the eigh over
-    (1 for the unsharded driver path -- an unsharded eigh runs on a single
-    device no matter how many are visible, so the admission test must not
-    scale with the visible device count).
+    (1 for the unsharded driver path).
     """
+    if n_shards <= 1 and n > DIRECT_EIGH_COMPILE_MAX:
+        return False
     itemsize = 4
     need = 30 * n * n * itemsize  # QDWH scratch estimate (~30 n^2 floats)
     if hbm and need > 0.8 * hbm * max(1, n_shards):
@@ -104,25 +112,50 @@ def device_eigh_admissible(n: int, hbm: int, n_shards: int = 1) -> bool:
     return True
 
 
+def dc_eigh_admissible(n: int, hbm: int) -> bool:
+    """Whether the host-driven divide-and-conquer (core/eigh_dc.py) fits:
+    peak live set ~8 n^2 floats (sign iterates + projector + bases)."""
+    if hbm:
+        return 8 * n * n * 4 <= 0.8 * hbm
+    return n <= 8192
+
+
 def auto_eigendecompose(K, backend: str = "auto", dtype=None,
                         n_shards: int = 1):
-    """Pick device vs host eigh.
+    """Pick the eigendecomposition strategy.
 
-    "auto": device when the QDWH scratch estimate fits the available HBM
-    (see :func:`device_eigh_admissible`); host LAPACK otherwise.
+    "auto" on an accelerator: the monolithic device eigh when it both
+    compiles and fits (n <= 8,192 per shard), else the host-driven
+    spectral divide-and-conquer (core/eigh_dc.py -- GEMMs at full size,
+    factorizations only at <= 8,192) when HBM allows, else host LAPACK.
+    "host"/"device"/"dc" force a strategy.
     """
     if backend == "host":
         return host_eigendecompose(K, dtype)
     if backend == "device":
         return eigendecompose(jnp.asarray(K))
+    if backend == "dc":
+        from .eigh_dc import eigh_dc
+
+        ev, U = eigh_dc(jnp.asarray(K))
+        return jnp.maximum(ev, 0.0), U
     n = K.shape[0]
     if jax.devices()[0].platform == "cpu":
         # virtual-CPU test meshes: jnp eigh is fine and shardable
         return eigendecompose(jnp.asarray(K))
-    if not device_eigh_admissible(n, _device_hbm_bytes(), n_shards):
-        return host_eigendecompose(K, dtype)
+    hbm = _device_hbm_bytes()
     if n <= 4096:
         # small problems: LAPACK runtime is trivial while the accelerator
         # QDWH-eigh pays a large one-time compile -- host wins outright
         return host_eigendecompose(K, dtype)
-    return eigendecompose(jnp.asarray(K))
+    if device_eigh_admissible(n, hbm, n_shards):
+        return eigendecompose(jnp.asarray(K))
+    if dc_eigh_admissible(n, hbm):
+        from .eigh_dc import eigh_dc
+
+        try:
+            ev, U = eigh_dc(jnp.asarray(K))
+            return jnp.maximum(ev, 0.0), U
+        except RuntimeError:
+            pass  # unsplittable spectrum or compile trouble -> host
+    return host_eigendecompose(K, dtype)

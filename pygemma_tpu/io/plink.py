@@ -110,15 +110,17 @@ def write_bed(prefix: str, X: np.ndarray, snp_ids=None, sample_ids=None,
     sample_ids = sample_ids or [f"id{i}" for i in range(n)]
     chrom = chrom if chrom is not None else np.ones(p, dtype=int)
     pos = pos if pos is not None else np.arange(1, p + 1)
-    # inverse of count_a1=True decode
-    codes = {2.0: 0b00, 1.0: 0b10, 0.0: 0b11}
-    bytes_per_snp = (n + 3) // 4
-    out = np.zeros((p, bytes_per_snp), dtype=np.uint8)
-    for j in range(p):
-        for i in range(n):
-            v = X[i, j]
-            code = 0b01 if np.isnan(v) else codes[float(v)]
-            out[j, i // 4] |= code << (2 * (i % 4))
+    # inverse of count_a1=True decode, vectorized: dosage d -> bed code
+    # 2->00, 1->10, 0->11, NaN->01.  Bit-pack via io.packed.pack_codes
+    # (the pure-Python per-entry loop this replaces was O(n*p) and made
+    # GCTA bridging impractical at p=100k).
+    from .packed import pack_codes
+
+    Xf = np.asarray(X, np.float32)
+    d = np.rint(np.nan_to_num(Xf, nan=3.0)).astype(np.int16)
+    code = np.where(d == 2, 0b00, np.where(d == 1, 0b10, 0b11))
+    code = np.where(np.isnan(Xf), 0b01, code).astype(np.uint8)  # (n, p)
+    out = np.ascontiguousarray(pack_codes(code).T)  # (p, ceil(n/4))
     with open(prefix + ".bed", "wb") as f:
         f.write(_MAGIC)
         f.write(out.tobytes())

@@ -75,8 +75,12 @@ class QuantizedMatrix:
             mu, sd = self.mu[idx[1]], self.sd[idx[1]]
         else:
             mu, sd = self.mu, self.sd
+        if np.ndim(g) == 0:  # scalar entry: same imputation as array slices
+            if g == self.missing_code:
+                return np.float32(0.0)
+            return np.float32((np.float32(g) - mu) / sd)
         x = g.astype(np.float32)
-        if g.ndim and np.any(g == self.missing_code):
+        if np.any(g == self.missing_code):
             x = np.where(g == self.missing_code, mu, x)
         return (x - mu) / sd
 
@@ -85,6 +89,12 @@ class QuantizedMatrix:
         """(int8 codes, mu, sd) for columns [start, stop) -- raw, unpadded."""
         return (np.ascontiguousarray(self.data[:, start:stop]),
                 self.mu[start:stop], self.sd[start:stop])
+
+    def cols(self, start: int, stop: int) -> "QuantizedMatrix":
+        """Zero-copy view of a column (SNP) range."""
+        return QuantizedMatrix(self.data[:, start:stop],
+                               self.mu[start:stop], self.sd[start:stop],
+                               self.missing_code)
 
     # --- constructors --------------------------------------------------------
     @classmethod
@@ -100,6 +110,9 @@ class QuantizedMatrix:
         the column mean.  Statistics are computed in one blocked host pass
         so 2 GB memmaps never fully materialize.
         """
+        if mode not in ("standardize", "center"):
+            raise ValueError(
+                f"mode must be 'standardize' or 'center', got {mode!r}")
         n, p = G.shape
         mu = np.empty(p, np.float32)
         sd = np.ones(p, np.float32)
@@ -117,13 +130,23 @@ class QuantizedMatrix:
                 # denominator, matching ``standardize(impute(X))``
                 v = (np.where(miss, 0.0, (x - m) ** 2)).sum(0) / n
                 sd[s:e] = np.maximum(np.sqrt(v), eps)
+        # NOTE: an int8 ndarray input is ALIASED as self.data (no copy) so
+        # 2 GB cohorts aren't duplicated; callers must not mutate G after.
         data = G if (isinstance(G, np.ndarray) and G.dtype == np.int8
                      and out is None) else None
         if data is None:
             data = out if out is not None else np.empty((n, p), np.int8)
             for s in range(0, p, block):
                 e = min(s + block, p)
-                data[:, s:e] = np.asarray(G[:, s:e]).astype(np.int8)
+                g = np.asarray(G[:, s:e])
+                if g.dtype != np.int8:
+                    # int8 cast wraps silently; reject out-of-range codes
+                    if ((g < -128) | (g > 127)).any():
+                        raise ValueError(
+                            "dosage values outside int8 range in columns "
+                            f"[{s}, {e}); remap the missing code into int8 "
+                            "range before quantizing")
+                data[:, s:e] = g.astype(np.int8)
         return cls(data, mu, sd, missing_code)
 
     @classmethod

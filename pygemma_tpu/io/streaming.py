@@ -14,6 +14,7 @@ from typing import Iterator, Optional, Tuple
 import jax
 import numpy as np
 
+from .packed import PackedMatrix, dequantize_packed_device
 from .quantized import QuantizedMatrix, dequantize_device
 
 
@@ -22,19 +23,48 @@ class SnpBlockStreamer:
 
     ``X`` is any (n, p) array-like supporting column slicing (ndarray,
     memmap, or a lazy reader); blocks are padded to the static block size.
+
+    ``shardings`` places blocks on a device MESH instead of a single
+    device: a ``(block_sharding, vec_sharding)`` pair for the (n, B) block
+    (typically ``P(None, "snp")``) and the (B,) per-column affine vectors
+    (``P("snp")``).  Quantized/packed codes are device_put under the block
+    sharding and dequantized in place, so multi-chip scans keep the
+    double-buffered int8/2-bit transfer path (each host ships only its
+    addressable shard bytes).
     """
 
     def __init__(self, X, block: int, dtype=np.float32,
-                 device: Optional[jax.Device] = None):
+                 device: Optional[jax.Device] = None,
+                 shardings: Optional[Tuple] = None):
         self.X = X
         self.block = block
         self.dtype = dtype
         self.device = device or jax.devices()[0]
+        self.shardings = shardings
         self.p = X.shape[1]
+
+    def _put(self, arr, vec: bool = False):
+        if self.shardings is not None:
+            return jax.device_put(arr, self.shardings[1 if vec else 0])
+        return jax.device_put(arr, self.device)
 
     def _fetch(self, start: int):
         stop = min(start + self.block, self.p)
         pad = self.block - (stop - start)
+        if isinstance(self.X, PackedMatrix):
+            # ship 2-bit packed bytes (16x less tunnel traffic than
+            # float32); unpack + dequantize on device
+            g, mu, sd = self.X.quant_block(start, stop)
+            if pad:
+                g = np.pad(g, ((0, 0), (0, pad)))
+                mu = np.pad(mu, (0, pad))
+                sd = np.pad(sd, (0, pad), constant_values=1.0)
+            xb = dequantize_packed_device(
+                self._put(g), self._put(mu, vec=True),
+                self._put(sd, vec=True),
+                n=self.X.n, coding=self.X.coding,
+            )
+            return start, stop, xb
         if isinstance(self.X, QuantizedMatrix):
             # ship int8 codes + tiny (B,) affine vectors; dequantize on
             # device (4x less tunnel traffic than float32 blocks)
@@ -44,16 +74,15 @@ class SnpBlockStreamer:
                 mu = np.pad(mu, (0, pad))
                 sd = np.pad(sd, (0, pad), constant_values=1.0)
             xb = dequantize_device(
-                jax.device_put(g, self.device),
-                jax.device_put(mu, self.device),
-                jax.device_put(sd, self.device),
+                self._put(g), self._put(mu, vec=True),
+                self._put(sd, vec=True),
                 missing_code=self.X.missing_code,
             )
             return start, stop, xb
         xb = np.asarray(self.X[:, start:stop], dtype=self.dtype)
         if pad:
             xb = np.pad(xb, ((0, 0), (0, pad)))
-        return start, stop, jax.device_put(xb, self.device)
+        return start, stop, self._put(xb)
 
     def __iter__(self) -> Iterator[Tuple[int, int, jax.Array]]:
         starts = list(range(0, self.p, self.block))

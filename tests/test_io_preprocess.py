@@ -78,7 +78,10 @@ def test_native_filtered_matrix_stream(tmp_path, rng):
     np.savetxt(path, M, fmt="%.6f")
     idx = np.array([2, 7, 11, 29])
     got = bed_native.read_filtered_matrix(path, idx)
-    np.testing.assert_allclose(got, M[np.ix_(idx, idx)], rtol=1e-5)
+    # atol floor: the file holds %.6f-rounded values, so entries near zero
+    # can never match the original floats to a pure relative tolerance
+    np.testing.assert_allclose(got, M[np.ix_(idx, idx)], rtol=1e-5,
+                               atol=1e-6)
 
 
 def test_traw_roundtrip(tmp_path, rng):
@@ -299,3 +302,125 @@ def test_pygemma_quantized_matches_float32(rng):
     df_f = pygemma(y, Xs, None, K, config=cfg)
     np.testing.assert_allclose(df_q["beta"], df_f["beta"], rtol=1e-5)
     np.testing.assert_allclose(df_q["p_wald"], df_f["p_wald"], rtol=1e-4)
+
+
+def test_packed_matrix_host_and_device_paths(tmp_path, rng):
+    """PackedMatrix (2-bit codes): pack/unpack round-trip, host slices equal
+    standardized f32, on-device unpack matches, rawbin_2bit round-trips."""
+    from pygemma_tpu.io.packed import (MISSING_2BIT, PackedMatrix,
+                                       pack_codes, unpack_codes,
+                                       write_rawbin_2bit)
+
+    n, p = 37, 21  # n deliberately not a multiple of 4
+    G = rng.integers(0, 3, size=(n, p)).astype(np.uint8)
+    G[1, 3] = MISSING_2BIT
+    G[7, 3] = MISSING_2BIT
+    np.testing.assert_array_equal(unpack_codes(pack_codes(G), n), G)
+
+    Q = PackedMatrix.from_codes(G)
+    assert Q.shape == (n, p) and Q.dtype == np.float32
+
+    # host oracle: mean-impute then standardize
+    Xf = G.astype(np.float32)
+    Xf[G == MISSING_2BIT] = np.nan
+    mu = np.nanmean(Xf, axis=0)
+    Xf = np.where(np.isnan(Xf), mu, Xf)
+    Xs = (Xf - Xf.mean(0)) / np.maximum(Xf.std(0), 1e-6)
+    np.testing.assert_allclose(Q[:, :], Xs, atol=2e-5)
+    np.testing.assert_allclose(Q[:, 3:9], Xs[:, 3:9], atol=2e-5)
+    np.testing.assert_allclose(Q[5:11, 3:9], Xs[5:11, 3:9], atol=2e-5)
+    assert abs(Q[:, 3][1]) < 1e-6  # missing -> standardized 0
+
+    # streamer device path (2-bit transfer + on-device unpack/affine)
+    blocks = list(SnpBlockStreamer(Q, block=16))
+    dev = np.concatenate([np.asarray(b[2]) for b in blocks], axis=1)[:, :p]
+    np.testing.assert_allclose(dev, Xs, atol=2e-5)
+
+    # rawbin_2bit persistence round-trip ((p, n4) layout on disk)
+    prefix = str(tmp_path / "pk")
+    write_rawbin_2bit(prefix, G, Q.mu, Q.sd)
+    Q2 = PackedMatrix.open_rawbin(prefix)
+    np.testing.assert_allclose(Q2[:, :], Xs, atol=2e-5)
+
+
+def test_packed_bed_coding_streams_verbatim(tmp_path, rng):
+    """open_bed wraps a PLINK fileset: raw bed bytes decode on device to the
+    same standardized matrix the host reader produces."""
+    from pygemma_tpu.io.packed import PackedMatrix
+
+    n, p = 29, 11
+    X = rng.integers(0, 3, size=(n, p)).astype(np.float32)
+    X[2, 1] = np.nan
+    X[9, 1] = np.nan
+    prefix = str(tmp_path / "pbed")
+    plink.write_bed(prefix, X)
+
+    Q = PackedMatrix.open_bed(prefix)
+    assert Q.coding == "bed" and Q.shape == (n, p)
+
+    # oracle from the host reader: mean-impute + standardize
+    d = plink.read_bed(prefix, use_native=False)
+    Xi = pp.mean_impute(d.X)
+    Xs = pp.standardize(Xi)
+    np.testing.assert_allclose(Q[:, :], Xs, atol=2e-5)
+
+    blocks = list(SnpBlockStreamer(Q, block=8))
+    dev = np.concatenate([np.asarray(b[2]) for b in blocks], axis=1)[:, :p]
+    np.testing.assert_allclose(dev, Xs, atol=2e-5)
+
+
+def test_pygemma_packed_matches_float32(rng):
+    """End-to-end: the public driver on a PackedMatrix reproduces the
+    float32-genotype scan (2-bit codes + affine are an exact encoding)."""
+    from pygemma_tpu import GwasConfig, pygemma
+    from pygemma_tpu.io.packed import PackedMatrix
+
+    n, p = 96, 40
+    G = rng.integers(0, 3, size=(n, p)).astype(np.uint8)
+    Q = PackedMatrix.from_codes(G)
+    Xs = Q[:, :]
+    K = (Xs @ Xs.T / p + 1e-3 * np.eye(n)).astype(np.float32)
+    y = (Xs[:, 0] * 0.4 + rng.normal(size=n)).astype(np.float32)
+    cfg = GwasConfig(snp_block=16)
+    df_q = pygemma(y, Q, None, K, config=cfg)
+    df_f = pygemma(y, Xs, None, K, config=cfg)
+    np.testing.assert_allclose(df_q["beta"], df_f["beta"], rtol=1e-5)
+    np.testing.assert_allclose(df_q["p_wald"], df_f["p_wald"], rtol=1e-4)
+
+
+def test_quantized_scalar_and_mode_validation(rng):
+    """ADVICE r2: scalar indexing imputes missing entries like slices do;
+    bad from_dosages mode raises; out-of-int8-range dosages raise."""
+    import pytest as _pytest
+
+    from pygemma_tpu.io.quantized import MISSING_CODE, QuantizedMatrix
+
+    n, p = 16, 5
+    G = rng.integers(0, 3, size=(n, p)).astype(np.int8)
+    G[2, 1] = MISSING_CODE
+    Q = QuantizedMatrix.from_dosages(G)
+    assert float(Q[2, 1]) == 0.0  # missing scalar -> imputed 0, not raw code
+    assert np.isclose(float(Q[0, 0]), Q[:, 0][0])
+    with _pytest.raises(ValueError, match="mode"):
+        QuantizedMatrix.from_dosages(G, mode="standardise")
+    Gbig = G.astype(np.int32)
+    Gbig[0, 0] = -999
+    with _pytest.raises(ValueError, match="int8 range"):
+        QuantizedMatrix.from_dosages(Gbig)
+
+
+def test_pygemma_checks_quantized_sidecars(rng):
+    """disable_checks=False validates mu/sd sidecars on quantized input."""
+    import pytest as _pytest
+
+    from pygemma_tpu import pygemma
+    from pygemma_tpu.io.quantized import QuantizedMatrix
+
+    n, p = 30, 6
+    G = rng.integers(0, 3, size=(n, p)).astype(np.int8)
+    Q = QuantizedMatrix.from_dosages(G)
+    Q.sd[2] = 0.0  # corrupt sidecar
+    y = rng.normal(size=n).astype(np.float32)
+    K = np.eye(n, dtype=np.float32)
+    with _pytest.raises(ValueError, match="sidecar"):
+        pygemma(y, Q, None, K, disable_checks=False)
