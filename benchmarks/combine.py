@@ -37,22 +37,26 @@ def combine(paths):
     return df, agg
 
 
-def plot(agg, out_prefix):
+def plot(agg, out_prefix, x="sample_size"):
+    """Runtime and speedup curves along ``x`` (sample_size for the
+    reference's n-scaling plots, num_covars for the covariate-scaling
+    result of README.md:125-144)."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    others = [c for c in ("sample_size", "num_snps", "num_covars") if c != x]
+    labels = {"sample_size": "n", "num_snps": "p", "num_covars": "c"}
     fig, axes = plt.subplots(1, 2, figsize=(11, 4))
-    for (p, c), sub in agg.groupby(["num_snps", "num_covars"]):
-        axes[0].plot(sub["sample_size"], sub["tpu_time_median"], "o-",
-                     label=f"p={p}, c={c}")
-        axes[1].plot(sub["sample_size"], sub["speedup_median"], "o-",
-                     label=f"p={p}, c={c}")
-    axes[0].set_xlabel("samples")
+    for key, sub in agg.groupby(others):
+        lab = ", ".join(f"{labels[o]}={k}" for o, k in zip(others, key))
+        axes[0].plot(sub[x], sub["tpu_time_median"], "o-", label=lab)
+        axes[1].plot(sub[x], sub["speedup_median"], "o-", label=lab)
+    axes[0].set_xlabel(labels[x])
     axes[0].set_ylabel("runtime (s)")
     axes[0].set_yscale("log")
-    axes[1].set_xlabel("samples")
+    axes[1].set_xlabel(labels[x])
     axes[1].set_ylabel("speedup vs 1 CPU core")
     axes[1].legend(fontsize=7)
     fig.tight_layout()
@@ -64,12 +68,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("inputs", nargs="+", help="results CSVs / globs")
     ap.add_argument("--out-prefix", default="benchmark")
+    ap.add_argument("--x", default="sample_size",
+                    choices=("sample_size", "num_snps", "num_covars"))
     args = ap.parse_args()
     df, agg = combine(args.inputs)
     agg.to_csv(args.out_prefix + "_summary.csv", index=False)
     print(agg.to_string(index=False))
     try:
-        plot(agg, args.out_prefix)
+        plot(agg, args.out_prefix, x=args.x)
     except Exception as e:  # plotting is best-effort
         print(f"(plots skipped: {e})")
 

@@ -80,11 +80,26 @@ def host_eigendecompose(K, dtype=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def _device_hbm_bytes() -> int:
+    dev = jax.devices()[0]
     try:
-        stats = jax.devices()[0].memory_stats()
-        return int(stats.get("bytes_limit", 0))
+        stats = dev.memory_stats()
+        limit = int(stats.get("bytes_limit", 0))
+        if limit:
+            return limit
     except Exception:
-        return 0
+        pass
+    # memory_stats() is unavailable through the axon tunnel (returns None);
+    # fall back to the device generation's known HBM so the D&C path is not
+    # silently rejected as "no memory" (measured: this fallback mattered --
+    # hbm=0 sent a 16,384 Gram eigh to a 415 s host LAPACK call)
+    if dev.platform == "tpu":
+        kind = getattr(dev, "device_kind", "").lower()
+        if "v5 lite" in kind or "v5e" in kind or "v6 lite" in kind:
+            return 16 << 30
+        if "v4" in kind or "v5" in kind or "v6" in kind:
+            return 32 << 30
+        return 16 << 30
+    return 0
 
 
 #: largest n the backend's monolithic jnp.linalg.eigh graph is known to

@@ -94,19 +94,62 @@ def _shift_scale(A, sigma, key, boost):
     return H / alpha
 
 
+#: sign iterations MUST run at HIGHEST: with the 3-pass bf16 split (HIGH)
+#: the scaled spectrum overshoots the quintic steps' |x| <= ~1.01 safety
+#: region by rounding alone, the iterate blows up to NaN, and the boost-
+#: retry loop reruns the whole schedule at 4x the scale -- measured 4.4x
+#: SLOWER end-to-end (343.9 s vs 77.3 s for the same 16,384 split) than
+#: just paying the 6-pass GEMMs
+_SIGN_PREC = jax.lax.Precision.HIGHEST
+
+
 @jax.jit
 def _sign_step(X, a, b, c):
-    X2 = jnp.dot(X, X, precision=_HI)
-    X3 = jnp.dot(X, X2, precision=_HI)
-    X5 = jnp.dot(X3, X2, precision=_HI)
+    X2 = jnp.dot(X, X, precision=_SIGN_PREC)
+    X3 = jnp.dot(X, X2, precision=_SIGN_PREC)
+    X5 = jnp.dot(X3, X2, precision=_SIGN_PREC)
     return a * X + b * X3 + c * X5
 
 
 @jax.jit
 def _sign_residual(X):
     """||X^2 - I||_inf-ish convergence measure (one GEMM + reduction)."""
-    X2 = jnp.dot(X, X, precision=_HI)
+    X2 = jnp.dot(X, X, precision=_SIGN_PREC)
     return jnp.max(jnp.abs(X2 - jnp.eye(X.shape[0], dtype=X.dtype)))
+
+
+@jax.jit
+def _ritz_sketch(A, Om):
+    """(Om'A Om, Om'Om) pencil blocks for a host-side generalized Ritz
+    estimate of the spectrum (two GEMMs, no device factorization)."""
+    Y = jnp.dot(A, Om, precision=_HI)
+    return jnp.dot(Om.T, Y, precision=_HI), jnp.dot(Om.T, Om, precision=_HI)
+
+
+def _spectral_quantile(A, q, seed, k: int = 512):
+    """Estimate the q-quantile of A's spectrum from the Ritz values of a
+    random k-dim subspace (generalized eigenproblem solved on host at k^2).
+
+    The diagonal of a correlation-like matrix is nearly constant and says
+    nothing about the spectral BULK, so a diagonal-median split lands far
+    from the half-rank point and forces an extra recursion level; bulk
+    Ritz quantiles track the true spectral quantiles well."""
+    import scipy.linalg
+
+    n = A.shape[0]
+    k = min(k, n)
+    rng = np.random.default_rng(seed)
+    Om = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32))
+    H, B = _ritz_sketch(A, Om)
+    Hh = np.asarray(H, np.float64)
+    Bh = np.asarray(B, np.float64)
+    Hh = (Hh + Hh.T) / 2
+    Bh = (Bh + Bh.T) / 2 + 1e-6 * np.trace(Bh) / k * np.eye(k)
+    try:
+        ritz = scipy.linalg.eigh(Hh, Bh, eigvals_only=True)
+    except Exception:
+        return None
+    return float(np.quantile(ritz, q))
 
 
 @jax.jit
@@ -159,16 +202,71 @@ def _qr_q(Y):
     return Q
 
 
+#: width above which a Householder QR is replaced by the panel CholeskyQR2
+#: (measured on the tunneled v5e: qr at (16384, 8192) stalls the remote
+#: compiler, and triangular_solve with an 8192 factor x 16384 RHS OOMs with
+#: ~16 GB of unrolled temps; panels of 2048 keep both well inside limits)
+_PANEL_QR_MAX_DIRECT = 4096
+_PANEL = 2048
+
+
+@partial(jax.jit, static_argnames=())
+def _panel_step(Qbuf, Yj, j):
+    """One panel of blocked CholeskyQR2: project the (n, panel) slab Yj
+    against the already-filled columns of Qbuf (zeros beyond the fill line
+    contribute nothing), orthonormalize it with two CholeskyQR passes
+    (factorizations only at the panel size), and write it at column j.
+
+    All shapes are fixed, so the whole loop reuses ONE executable with a
+    traced start index."""
+    # two Gram-Schmidt sweeps against previous panels (BCGS2: the second
+    # sweep restores orthogonality lost to f32 roundoff in the first)
+    for _ in range(2):
+        Yj = Yj - jnp.dot(Qbuf, jnp.dot(Qbuf.T, Yj, precision=_HI),
+                          precision=_HI)
+    # Householder QR at the PANEL width (tall-narrow compiles fine on this
+    # backend; only the wide k x k factorizations do not) -- machine-
+    # orthonormal panels keep the whole basis at ~eps * sqrt(#panels)
+    Qj, _ = jnp.linalg.qr(Yj)
+    return jax.lax.dynamic_update_slice(Qbuf, Qj, (0, j))
+
+
+def _panel_cholqr(Y, panel: int = _PANEL):
+    """Orthonormalize the columns of a tall (n, k) block with GEMMs plus
+    panel-size (<= ``panel``) Cholesky/triangular work only -- the sizes
+    this backend's compiler and HBM handle.  Columns are processed in
+    fixed-shape slabs so the device loop compiles once."""
+    n, k = Y.shape
+    pad = (-k) % panel
+    if pad:
+        rng = np.random.default_rng(k)
+        # random pad columns orthonormalize into harmless extra directions
+        Y = jnp.concatenate(
+            [Y, jnp.asarray(rng.standard_normal((n, pad)).astype(Y.dtype))],
+            axis=1)
+    Qbuf = jnp.zeros_like(Y)
+    for j in range(0, k + pad, panel):
+        Yj = jax.lax.dynamic_slice(Y, (0, j), (n, panel))
+        Qbuf = _panel_step(Qbuf, Yj, j)
+    return Qbuf[:, :k] if pad else Qbuf
+
+
+def _ortho_cols(Y):
+    """Orthonormalization dispatch: direct Householder QR when narrow,
+    panel CholeskyQR2 when the QR would not compile/fit on this backend."""
+    return _qr_q(Y) if Y.shape[1] <= _PANEL_QR_MAX_DIRECT else _panel_cholqr(Y)
+
+
 def _orthonormal_range(P, k, seed, refine: int = 1):
     """Orthonormal (n, k) basis of the rank-k range of projector P via
-    randomized range finding + Householder QR (subspace iteration sharpens
-    the basis; one refine pass suffices for a converged sign projector)."""
+    randomized range finding (subspace iteration sharpens the basis; one
+    refine pass suffices for a converged sign projector)."""
     n = P.shape[0]
     rng = np.random.default_rng(seed)
     Om = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32))
-    Q = _qr_q(jnp.dot(P, Om, precision=_HI))
+    Q = _ortho_cols(jnp.dot(P, Om, precision=_HI))
     for _ in range(refine):
-        Q = _qr_q(jnp.dot(P, Q, precision=_HI))
+        Q = _ortho_cols(jnp.dot(P, Q, precision=_HI))
     return Q
 
 
@@ -179,19 +277,44 @@ def _rayleigh_block(A, V):
 
 
 @partial(jax.jit, static_argnames=("m",))
-def _eigh_padded(B, m: int):
-    """eigh of (r, r) B embedded in an (m, m) bucket: pad block-diagonally
-    with mu I (mu > max |eigenvalue|), so B's pairs come out first in the
-    ascending order and the pad block stays exactly separate."""
+def _pad_block(B, m: int):
+    """Embed (r, r) B block-diagonally in an (m, m) bucket padded with mu I
+    (mu > max |eigenvalue|), so B's pairs come out first in the ascending
+    order and the pad block stays exactly separate.  Kept OUTSIDE the eigh
+    executable on purpose: the eigh compile is the expensive/fragile one on
+    the remote compile service, so it must stay a canonical plain-eigh HLO
+    that caches identically across callers."""
     r = B.shape[0]
-    if m == r:
-        return jnp.linalg.eigh(B)
     mu = 2.0 * jnp.max(jnp.abs(B)) * r + 1.0
     Apad = jnp.zeros((m, m), B.dtype)
     Apad = Apad.at[:r, :r].set(B)
     Apad = Apad.at[jnp.arange(r, m), jnp.arange(r, m)].set(mu)
-    ev, U = jnp.linalg.eigh(Apad)
-    return ev, U
+    return Apad
+
+
+@jax.jit
+def _eigh_plain(A):
+    return jnp.linalg.eigh(A)
+
+
+def _eigh_padded(B, m: int):
+    A = B if m == B.shape[0] else _pad_block(B, m)
+    # the remote compile helper is occasionally killed under memory
+    # pressure (observed SIGKILL on a compile that succeeds on retry);
+    # a cold big-eigh compile is ~minutes, so a bounded retry is worth it
+    last = None
+    for attempt in range(3):
+        try:
+            return _eigh_plain(A)
+        except Exception as e:  # jax.errors.JaxRuntimeError on compile 500
+            last = e
+            msg = str(e)
+            if "remote_compile" not in msg and "SIGKILL" not in msg:
+                raise
+            import time as _time
+
+            _time.sleep(5.0 * (attempt + 1))
+    raise RuntimeError(f"eigh compile failed after retries: {last}")
 
 
 @jax.jit
@@ -201,8 +324,17 @@ def _back_transform(V, Usub):
 
 def _eigh_small(A) -> Tuple[jnp.ndarray, jnp.ndarray]:
     r = A.shape[0]
-    m = min(max(_BUCKET, ((r + _BUCKET - 1) // _BUCKET) * _BUCKET),
-            DIRECT_EIGH_MAX) if r <= DIRECT_EIGH_MAX else r
+    if r <= DIRECT_EIGH_MAX:
+        # power-of-two buckets: a cold compile of the built-in eigh costs
+        # ~minutes on the remote compile service (8,192 measured at 311 s,
+        # then 0.6 s warm from the persistent cache), so keep the set of
+        # distinct executables tiny ({1024, 2048, 4096, 8192})
+        m = _BUCKET
+        while m < r:
+            m *= 2
+        m = min(m, DIRECT_EIGH_MAX)
+    else:
+        m = r
     ev, U = _eigh_padded(A, m)
     return ev[:r], U[:r, :r]
 
@@ -218,16 +350,38 @@ def eigh_dc(
     ``max_block``: largest subproblem handed to the built-in eigh.
     Returns device arrays (ev (n,), U (n, n)).
     """
+    import os
+    import time as _t
+
+    verbose = os.environ.get("PYGEMMA_TPU_DC_VERBOSE", "") == "1"
+    t_start = _t.time()
     A = jnp.asarray(A)
     n = A.shape[0]
     if n <= max_block:
-        return _eigh_small(A)
+        out = _eigh_small(A)
+        if verbose:
+            out[0].block_until_ready()
+            print(f"[eigh_dc] leaf n={n} {_t.time()-t_start:.1f}s",
+                  flush=True)
+        return out
     if _depth > 8:
         raise RuntimeError("eigh_dc: spectral split failed to reduce size")
 
-    # --- split point: median of the Rayleigh diagonal, nudged by rank ----
+    # --- split point: Ritz-sketch estimate of a spectral quantile (the
+    # diagonal is a poor stand-in on correlation-like matrices), nudged by
+    # the realized rank on retries.  Balanced splits minimize depth; when
+    # the block is barely over the leaf cap, shave a thin slice off the
+    # spectrum's bottom instead (low density at the edge -> the sign
+    # iteration converges fast, and the big side lands exactly at the cap).
     diag = np.asarray(jnp.diagonal(A))
-    sigma = float(np.median(diag))
+    if n <= int(1.3 * max_block):
+        frac_target = (n - max_block) / n
+    else:
+        frac_target = 0.5
+    sigma = _spectral_quantile(A, frac_target, seed=seed * 31 + _depth)
+    if sigma is None or not np.isfinite(sigma):
+        sigma = float(np.quantile(diag, frac_target))
+    min_side = max(32, int(0.4 * min(frac_target, 1 - frac_target) * n))
     r_lo = 0
     for attempt in range(4):
         key = jax.random.PRNGKey(seed * 1009 + 17 * _depth + attempt)
@@ -258,13 +412,20 @@ def eigh_dc(
         P_lo, tr = _projector_rank(S)
         tr_f = float(tr)
         r_lo = int(np.clip(round(tr_f), 0, n)) if np.isfinite(tr_f) else 0
-        lo_frac = r_lo / n
-        if 0.05 <= lo_frac <= 0.95:
+        if min(r_lo, n - r_lo) >= min_side:
             break
-        # degenerate split (sigma outside the bulk): nudge toward the
-        # other side using the diagonal quantiles
-        q = 0.25 if lo_frac > 0.95 else 0.75
-        sigma = float(np.quantile(diag, q))
+        if frac_target != 0.5 and 0 < r_lo and (n - r_lo) <= max_block:
+            break  # edge shave did its job: the big side fits a leaf
+        # degenerate split (sigma off-target): nudge toward the other side
+        # using Ritz (fallback: diagonal) quantiles
+        q = (frac_target * 0.5 if r_lo / n > frac_target
+             else frac_target + (1 - frac_target) * 0.5)
+        s_new = _spectral_quantile(A, q, seed=seed * 31 + 7 * _depth + attempt)
+        sigma = (s_new if s_new is not None and np.isfinite(s_new)
+                 else float(np.quantile(diag, q)))
+    if verbose:
+        print(f"[eigh_dc] n={n} depth={_depth} split r_lo={r_lo} "
+              f"sigma={sigma:.4g} sign+{_t.time()-t_start:.1f}s", flush=True)
     if r_lo == 0 or r_lo == n:
         # spectrum would not split by value (near-multiple of identity).
         # Splitting a (near-)degenerate eigenspace by ANY orthogonal
@@ -273,13 +434,16 @@ def eigh_dc(
         r_lo = n // 2
         P_lo = 0.5 * jnp.eye(n, dtype=A.dtype)
 
+    del S  # n^2 sign iterate: dead past the projector
     V_lo = _orthonormal_range(P_lo, r_lo, seed=seed * 7919 + 13 + _depth)
     P_hi = jnp.eye(n, dtype=A.dtype) - P_lo
+    del P_lo
     V_hi = _orthonormal_range(P_hi, n - r_lo,
                               seed=seed * 7919 + 101 + _depth)
+    del P_hi
     # one Gram-Schmidt sweep of V_hi against V_lo keeps the combined basis
     # orthonormal to f32 roundoff even when the projector leaked slightly
-    V_hi = _qr_q(_project_out(V_lo, V_hi))
+    V_hi = _ortho_cols(_project_out(V_lo, V_hi))
 
     # validation: the two bases must (nearly) decouple A, else the split
     # was not invariant and results would be silently wrong
@@ -292,13 +456,25 @@ def eigh_dc(
             f"(scale {scale:.2e}); falling back to a dense eigh is required")
     A_lo = jnp.dot(V_lo.T, AV_lo, precision=_HI)
     A_hi = _rayleigh_block(A, V_hi)
+    # every n^2 buffer that is dead across the recursion must be freed NOW:
+    # recursion frames stack, and the leaf's built-in eigh alone needs
+    # ~30 m^2 floats of HBM scratch (OOM observed at n=16,384 without this)
+    del AV_lo
     ev_lo, U_lo = eigh_dc(A_lo, max_block, seed + 1, _depth + 1)
+    del A_lo
     ev_hi, U_hi = eigh_dc(A_hi, max_block, seed + 2, _depth + 1)
-    U = jnp.concatenate(
-        [_back_transform(V_lo, U_lo), _back_transform(V_hi, U_hi)], axis=1
-    )
+    del A_hi
+    B_lo = _back_transform(V_lo, U_lo)
+    del V_lo, U_lo
+    B_hi = _back_transform(V_hi, U_hi)
+    del V_hi, U_hi
+    U = jnp.concatenate([B_lo, B_hi], axis=1)
+    del B_lo, B_hi
     ev = jnp.concatenate([ev_lo, ev_hi])
     # ascending across the two blocks (value split guarantees order up to
     # projector leakage; a final argsort makes it exact)
     order = jnp.argsort(ev)
+    if verbose:
+        print(f"[eigh_dc] n={n} depth={_depth} done {_t.time()-t_start:.1f}s",
+              flush=True)
     return ev[order], U[:, order]
