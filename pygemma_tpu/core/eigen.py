@@ -94,11 +94,19 @@ def _device_hbm_bytes() -> int:
     # hbm=0 sent a 16,384 Gram eigh to a 415 s host LAPACK call)
     if dev.platform == "tpu":
         kind = getattr(dev, "device_kind", "").lower()
-        if "v5 lite" in kind or "v5e" in kind or "v6 lite" in kind:
+        if "v5 lite" in kind or "v5e" in kind:
             return 16 << 30
+        if "v6 lite" in kind or "v6e" in kind:
+            return 32 << 30  # Trillium has 32 GB HBM
+        if "v5p" in kind:
+            return 95 << 30
         if "v4" in kind or "v5" in kind or "v6" in kind:
             return 32 << 30
-        return 16 << 30
+        if "v3" in kind:
+            return 16 << 30
+        # unknown kinds (incl. v2 at 8 GB): a conservative default can only
+        # route to host LAPACK, never admit an OOM-ing device path
+        return 8 << 30
     return 0
 
 

@@ -202,7 +202,7 @@ def _qr_q(Y):
     return Q
 
 
-#: width above which a Householder QR is replaced by the panel CholeskyQR2
+#: width above which a Householder QR is replaced by the panel-blocked BCGS2
 #: (measured on the tunneled v5e: qr at (16384, 8192) stalls the remote
 #: compiler, and triangular_solve with an 8192 factor x 16384 RHS OOMs with
 #: ~16 GB of unrolled temps; panels of 2048 keep both well inside limits)
@@ -212,10 +212,11 @@ _PANEL = 2048
 
 @partial(jax.jit, static_argnames=())
 def _panel_step(Qbuf, Yj, j):
-    """One panel of blocked CholeskyQR2: project the (n, panel) slab Yj
-    against the already-filled columns of Qbuf (zeros beyond the fill line
-    contribute nothing), orthonormalize it with two CholeskyQR passes
-    (factorizations only at the panel size), and write it at column j.
+    """One panel of blocked BCGS2: project the (n, panel) slab Yj against
+    the already-filled columns of Qbuf (zeros beyond the fill line
+    contribute nothing) with two Gram-Schmidt sweeps, orthonormalize the
+    slab with a single Householder QR at the panel width, and write it at
+    column j.
 
     All shapes are fixed, so the whole loop reuses ONE executable with a
     traced start index."""
@@ -231,11 +232,11 @@ def _panel_step(Qbuf, Yj, j):
     return jax.lax.dynamic_update_slice(Qbuf, Qj, (0, j))
 
 
-def _panel_cholqr(Y, panel: int = _PANEL):
+def _panel_qr(Y, panel: int = _PANEL):
     """Orthonormalize the columns of a tall (n, k) block with GEMMs plus
-    panel-size (<= ``panel``) Cholesky/triangular work only -- the sizes
-    this backend's compiler and HBM handle.  Columns are processed in
-    fixed-shape slabs so the device loop compiles once."""
+    Householder QRs at the ``panel`` width only (blocked BCGS2) -- the
+    sizes this backend's compiler and HBM handle.  Columns are processed
+    in fixed-shape slabs so the device loop compiles once."""
     n, k = Y.shape
     pad = (-k) % panel
     if pad:
@@ -253,8 +254,8 @@ def _panel_cholqr(Y, panel: int = _PANEL):
 
 def _ortho_cols(Y):
     """Orthonormalization dispatch: direct Householder QR when narrow,
-    panel CholeskyQR2 when the QR would not compile/fit on this backend."""
-    return _qr_q(Y) if Y.shape[1] <= _PANEL_QR_MAX_DIRECT else _panel_cholqr(Y)
+    panel-blocked BCGS2 when the QR would not compile/fit on this backend."""
+    return _qr_q(Y) if Y.shape[1] <= _PANEL_QR_MAX_DIRECT else _panel_qr(Y)
 
 
 def _orthonormal_range(P, k, seed, refine: int = 1):
@@ -305,11 +306,20 @@ def _eigh_padded(B, m: int):
     last = None
     for attempt in range(3):
         try:
-            return _eigh_plain(A)
-        except Exception as e:  # jax.errors.JaxRuntimeError on compile 500
+            ev, U = _eigh_plain(A)
+            # surface async execution failures INSIDE the try so they are
+            # retried too, not raised later at first use outside it
+            ev.block_until_ready()
+            return ev, U
+        except Exception as e:
             last = e
-            msg = str(e)
-            if "remote_compile" not in msg and "SIGKILL" not in msg:
+            # any JaxRuntimeError (compile-service 500s, transport resets,
+            # OOM-killed helpers) is worth retrying; other exception types
+            # retry only on the known transient markers
+            transient = isinstance(e, jax.errors.JaxRuntimeError) or any(
+                s in str(e) for s in ("remote_compile", "SIGKILL")
+            )
+            if not transient:
                 raise
             import time as _time
 
@@ -375,7 +385,12 @@ def eigh_dc(
     # iteration converges fast, and the big side lands exactly at the cap).
     diag = np.asarray(jnp.diagonal(A))
     if n <= int(1.3 * max_block):
-        frac_target = (n - max_block) / n
+        # floor the shave at ~2/k of the 512-point Ritz sample: a thinner
+        # target than the quantile resolution lands sigma at/below
+        # lambda_min (r_lo = 0) and the retry loop degenerates into the
+        # exact half-split coupling failure.  Over-shaving is harmless: the
+        # big side just lands below the leaf cap.
+        frac_target = max((n - max_block) / n, 2.0 / 512.0)
     else:
         frac_target = 0.5
     sigma = _spectral_quantile(A, frac_target, seed=seed * 31 + _depth)
