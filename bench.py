@@ -101,6 +101,35 @@ def _cpu_baseline(ev, W_r, y_r, X_r_subset):
     return out, X_r_subset.shape[1] / t_cpu
 
 
+def _rotated_repr_from_implicit(basis, W, y, X_sub):
+    """Exact full-length rotated representation of [W, y, X_sub] WITHOUT the
+    n x n eigenbasis, for the CPU baseline.
+
+    Within the eps-eigenspace any orthonormal basis is equivalent (constant
+    weight per eigenvalue), so the complement part of the t rotated columns
+    may be concentrated on their span: factor the residual Gram
+    R = T'T - C'C = L L' (t x t) and lay L' into the first t complement
+    coordinates.  All pairwise H^-k-weighted inner products -- the only
+    thing REML consumes -- are bit-equal to a true rotation.
+    """
+    n = basis.n
+    U_top = np.asarray(basis.U_top, np.float64)
+    pk = U_top.shape[1]
+    T = np.c_[W, y, X_sub].astype(np.float64)
+    t = T.shape[1]
+    C = U_top.T @ T  # (pk, t)
+    R = T.T @ T - C.T @ C
+    E, Vr = np.linalg.eigh((R + R.T) / 2)
+    L = Vr * np.sqrt(np.maximum(E, 0.0))[None, :]  # R = L L'
+    n_comp = n - pk
+    T_rot = np.zeros((n, t))
+    T_rot[:t] = L.T
+    T_rot[n_comp:] = C
+    ev = np.concatenate([np.full(n_comp, basis.eps), np.asarray(basis.ev_top, np.float64)])
+    c = W.shape[1]
+    return ev, T_rot[:, :c], T_rot[:, c], T_rot[:, c + 1:]
+
+
 def _wipe_dir(d):
     if os.path.isdir(d):
         shutil.rmtree(d)
@@ -130,8 +159,47 @@ def _mesh_smoke(cfg, ev_dev, W_r, y_r, xr_block, stacked_ref):
     return float(rel)
 
 
+def _flops_model_scan(n, pk, B, c, n_blocks, cfg):
+    """Static LOWER-BOUND flop model of the implicit streamed scan.
+
+    Counts only the deterministic stages (per-block prep GEMMs, the decade
+    d1 grid, endpoint likelihoods, the fixed bisection evals, TWO Newton
+    iterations -- the observed early-exit typical -- and the final k=1
+    stats build).  Precision.HIGH / bf16x3 dots count 3x.  Data-dependent
+    extra Newton iterations make the true number higher, so MFU derived
+    from this is a floor.
+    """
+    s = c + 1  # shared = [W, y]
+    m = s * (s + 1) // 2
+    mp = ((m + 1 + 15) // 16) * 16
+    sp = ((s + 15) // 16) * 16
+    Bp = ((B + 255) // 256) * 256
+    G = cfg.n_grid
+    prep = 3 * 2 * n * pk * B + 3 * 2 * n * s * B + 2 * n * B
+    grid = 3 * 2 * pk * G * 2 * s * B + 2 * pk * G * 2 * B  # d1: K=2
+    grid += 3 * 2 * pk * 2 * 1 * s * B  # endpoint likelihoods: K=1
+    kern = lambda kmax: kmax * (2 * Bp * pk * (mp + sp) * 3 + 8 * Bp * pk)
+    refine = cfg.bisect_iters * kern(2) + 2 * kern(3) + kern(1)
+    final = kern(1)
+    return n_blocks * (prep + grid + refine + final)
+
+
+def _device_peak_flops(dev) -> float:
+    """Per-chip bf16 MXU peak, by device generation (public specs)."""
+    kind = getattr(dev, "device_kind", "").lower()
+    if "v5 lite" in kind or "v5e" in kind:
+        return 197e12
+    if "v6 lite" in kind or "v6e" in kind:
+        return 918e12
+    if "v5p" in kind:
+        return 459e12
+    if "v4" in kind:
+        return 275e12
+    return 197e12
+
+
 def bench_large():
-    """Streamed big-n scan through the public driver."""
+    """Streamed big-n scan through the public driver (implicit low-rank)."""
     n = int(os.environ.get("PYGEMMA_BENCH_N", 20_000))
     p = int(os.environ.get("PYGEMMA_BENCH_P", 100_000))
     c = int(os.environ.get("PYGEMMA_BENCH_C", 3))
@@ -146,15 +214,23 @@ def bench_large():
     from pygemma_tpu import api as api_mod
     from pygemma_tpu.api import _kinship_fingerprint, pygemma
     from pygemma_tpu.config import GwasConfig
-    from pygemma_tpu.core.eigen import rotate
-    from pygemma_tpu.core.lowrank import (LowRankKinship,
-                                          lowrank_eigendecompose)
+    from pygemma_tpu.core.lowrank import LowRankKinship, lowrank_top_basis
 
     dev = jax.devices()[0]
     log(f"device: {dev} | LARGE streamed n={n} p={p} block={block} "
-        f"kinship_snps={k_snps} (low-rank exact eigh)")
+        f"kinship_snps={k_snps} (implicit low-rank eigh)")
 
+    cache_dir = os.environ.get(
+        "PYGEMMA_TPU_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "pygemma_tpu_xla"))
+    try:
+        cache_before = len(os.listdir(cache_dir))
+    except OSError:
+        cache_before = 0
+
+    t0 = time.time()
     X = _gen_geno_packed(n, p)  # (n, p) 2-bit packed, float32 view
+    geno_gen_secs = time.time() - t0  # ~0 when the on-disk cache is warm
     rng = np.random.default_rng(1)
     W = np.c_[np.ones(n), rng.standard_normal((n, c - 1))].astype(np.float32)
     y = (0.25 * np.asarray(X[:, :64]).mean(1) * 8.0
@@ -165,21 +241,24 @@ def bench_large():
     lrk = LowRankKinship(X.cols(0, k_snps), eps=1e-3)
 
     # --- eigh: timed fresh every run (the honest replacement cost for the
-    # reference's O(n^3) dense eigh).  First-ever run pays the XLA compile;
-    # the persistent compile cache amortizes it across processes, like any
-    # production deployment.
+    # reference's O(n^3) dense eigh), with per-stage breakdown.  No n x n
+    # basis and no complement QR exist on the implicit path.
+    eigh_stages = {}
     t0 = time.time()
-    ev_dev, U_dev = lowrank_eigendecompose(lrk)
-    float(jnp.sum(ev_dev) + jnp.sum(U_dev[0]))  # force completion (tunnel)
+    basis = lowrank_top_basis(lrk, timings=eigh_stages)
+    basis.ev_top.block_until_ready()
+    basis.U_top.block_until_ready()
     eigh_secs = time.time() - t0
-    log(f"low-rank device eigh (n={n}, p_k={k_snps}): {eigh_secs:.1f}s")
+    log(f"implicit low-rank eigh (n={n}, p_k={k_snps}): {eigh_secs:.1f}s "
+        f"stages={eigh_stages}")
 
     cfg = GwasConfig(snp_block=block)
-    eig_key = f"{_kinship_fingerprint(lrk)}|{cfg.dtype}"
+    key_i = f"{_kinship_fingerprint(lrk)}|{cfg.dtype}|implicit"
     # seed the driver's device-resident eigen cache so neither the warmup
-    # nor the timed run recomputes / re-uploads the basis
+    # nor the timed run recomputes the basis (eigh_seconds is reported
+    # separately above)
     api_mod._EIGEN_DEV_CACHE.clear()
-    api_mod._EIGEN_DEV_CACHE[eig_key] = (ev_dev, U_dev)
+    api_mod._EIGEN_DEV_CACHE[key_i] = (basis.ev_top, basis.U_top)
 
     # --- warmup: run the EXACT timed path (eigen=True kinship, run_dir
     # checkpointing, packed streaming) on a one-block slice so every
@@ -188,7 +267,8 @@ def bench_large():
     _wipe_dir(warm_dir)
     t0 = time.time()
     pygemma(y, X.cols(0, block), W, lrk, config=cfg, run_dir=warm_dir)
-    log(f"warmup (compiles included): {time.time()-t0:.1f}s")
+    warmup_secs = time.time() - t0
+    log(f"warmup (compiles included): {warmup_secs:.1f}s")
 
     # --- the timed streamed scan through the public driver
     run_dir = os.path.join(CACHE, f"run_n{n}_p{p}")
@@ -201,15 +281,35 @@ def bench_large():
     log(f"streamed scan: {scan_secs:.1f}s -> {rate:.1f} SNPs/s "
         f"(finite p: {nfin}/{p})")
 
-    # single-core CPU baseline on a subset at the same n (rotations done on
-    # device; only tiny matrices are pulled)
-    W_r = rotate(U_dev, jnp.asarray(W))
-    y_r = rotate(U_dev, jnp.asarray(y[:, None]))[:, 0]
-    Xr_sub = np.asarray(
-        rotate(U_dev, jnp.asarray(np.asarray(X[:, :base_snps]))))
-    ev_h = np.asarray(ev_dev)
-    cpu_out, cpu_rate = _cpu_baseline(ev_h, np.asarray(W_r),
-                                      np.asarray(y_r), Xr_sub)
+    # --- per-stage scan profile: one block re-run with synced boundaries
+    # (separate pass so the timed number above stays fully pipelined)
+    prof = {}
+    try:
+        prof = _profile_block(X, W, y, basis, cfg, block, api_mod)
+        log(f"block profile (synced): {prof}")
+    except Exception as e:
+        log(f"block profile failed: {type(e).__name__}: {e}")
+
+    # --- tunnel accounting: 2-bit codes + per-column affine sidecars
+    n4 = (n + 3) // 4
+    n_blocks = (p + block - 1) // block
+    tunnel_bytes = n_blocks * block * n4 + p * 8  # padded blocks + mu/sd
+    bw = prof.get("tunnel_mbps_measured")
+    tunnel_util = (
+        round((tunnel_bytes / 2**20 / scan_secs) / bw, 3) if bw else None)
+
+    # --- MFU floor from the static flop model
+    flops = _flops_model_scan(n, k_snps, block, c, n_blocks, cfg)
+    achieved = flops / scan_secs
+    peak = _device_peak_flops(dev)
+    log(f"flops model (lower bound): {flops/1e12:.1f} TF -> "
+        f"{achieved/1e12:.1f} TF/s, mfu >= {achieved/peak:.3f}")
+
+    # single-core CPU baseline on a subset at the same n: an exact rotated
+    # representation is reconstructed from the implicit basis (no n x n U)
+    X_sub = np.asarray(X[:, :base_snps])
+    ev_h, W_r, y_r, Xr_sub = _rotated_repr_from_implicit(basis, W, y, X_sub)
+    cpu_out, cpu_rate = _cpu_baseline(ev_h, W_r, y_r, Xr_sub)
     log(f"cpu baseline: {cpu_rate:.2f} SNPs/s")
     rel = np.nanmedian(np.abs(np.asarray(df["beta"][:base_snps])
                               - cpu_out["beta"])
@@ -219,15 +319,17 @@ def bench_large():
     mesh_rel = None
     if mesh_smoke:
         try:
-            from pygemma_tpu.io.streaming import SnpBlockStreamer
-
-            it = iter(SnpBlockStreamer(X, block))
-            xb = next(it)[2]
-            it.close()
-            xr = rotate(U_dev, xb)
+            # sharded-vs-single-device identity on a real-n rotated slice
+            # (exact rotated representation of 512 cohort SNPs)
+            _, Wr_s, yr_s, Xr_s = _rotated_repr_from_implicit(
+                basis, W, y, np.asarray(X[:, :512]))
+            ev_s = jnp.asarray(ev_h, jnp.float32)
+            Wr_d = jnp.asarray(Wr_s, jnp.float32)
+            yr_d = jnp.asarray(yr_s, jnp.float32)
+            xr = jnp.asarray(Xr_s, jnp.float32)
             stacked = api_mod._assoc_block_jit(
-                ev_dev, W_r, y_r, xr, cfg, None, False)
-            mesh_rel = _mesh_smoke(cfg, ev_dev, W_r, y_r, xr, stacked)
+                ev_s, Wr_d, yr_d, xr, cfg, None, False)
+            mesh_rel = _mesh_smoke(cfg, ev_s, Wr_d, yr_d, xr, stacked)
         except Exception as e:  # smoke must never sink the bench
             log(f"mesh smoke failed: {type(e).__name__}: {e}")
 
@@ -237,13 +339,77 @@ def bench_large():
         "unit": "SNPs/s",
         "vs_baseline": round(rate / cpu_rate, 2),
         "eigh_seconds": round(eigh_secs, 2),
-        "eigh_backend": "lowrank-device",
+        "eigh_backend": "lowrank-implicit",
+        "eigh_stages": eigh_stages,
         "scan_seconds": round(scan_secs, 2),
         "end_to_end_seconds": round(scan_secs + eigh_secs, 2),
+        "warmup_seconds": round(warmup_secs, 2),
+        "geno_gen_seconds": round(geno_gen_secs, 2),
+        "compile_cache_entries_before": cache_before,
+        "block_profile": prof,
+        "tunnel_bytes": int(tunnel_bytes),
+        "tunnel_util": tunnel_util,
+        "flops_model_tf": round(flops / 1e12, 1),
+        "achieved_tflops_lower_bound": round(achieved / 1e12, 2),
+        "mfu_lower_bound": round(achieved / peak, 4),
+        "peak_tflops": round(peak / 1e12, 1),
     }
     if mesh_rel is not None:
         out["mesh_smoke_rel"] = mesh_rel
     print(json.dumps(out))
+
+
+def _profile_block(X, W, y, basis, cfg, block, api_mod):
+    """Synced per-stage timing of ONE streamed block: host slice/pack read,
+    tunnel transfer (measured bandwidth), on-device dequant+prep GEMMs, and
+    the association solve.  All executables are warm from the main run."""
+    import jax
+    import jax.numpy as jnp
+
+    from pygemma_tpu.io.packed import dequantize_packed_device
+
+    prof = {}
+    s0 = block  # profile the second block (first may share warmup cache)
+    t0 = time.time()
+    g, mu, sd = X.quant_block(s0, s0 + block)
+    prof["host_slice_s"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    gd = jax.device_put(g)
+    mud = jax.device_put(mu)
+    sdd = jax.device_put(sd)
+    gd.block_until_ready()
+    dt = time.time() - t0
+    prof["transfer_s"] = round(dt, 3)
+    prof["tunnel_mbps_measured"] = round(g.nbytes / 2**20 / dt, 1)
+
+    t0 = time.time()
+    xb = dequantize_packed_device(gd, mud, sdd, n=X.n, coding=X.coding)
+    xb.block_until_ready()
+    prof["dequant_s"] = round(time.time() - t0, 3)
+
+    from pygemma_tpu.core.eigen import rotate
+
+    shared_raw = jnp.concatenate(
+        [jnp.asarray(W), jnp.asarray(y)[:, None]], axis=1)
+    S_raw = api_mod._raw_gram(shared_raw)
+    W_c = rotate(basis.U_top, jnp.asarray(W))
+    y_c = rotate(basis.U_top, jnp.asarray(y)[:, None])[:, 0]
+    t0 = time.time()
+    C_x, vS_raw, vv_raw = api_mod._implicit_prep(basis.U_top, shared_raw, xb)
+    C_x.block_until_ready()
+    prof["prep_s"] = round(time.time() - t0, 3)
+
+    eps_arr = jnp.asarray(basis.eps, jnp.float32)
+    t0 = time.time()
+    stacked = api_mod._assoc_block_implicit_jit(
+        basis.ev_top, W_c, y_c, C_x, cfg, None, False,
+        eps_arr, S_raw, vS_raw, vv_raw, basis.n)
+    stacked.block_until_ready()
+    prof["assoc_s"] = round(time.time() - t0, 3)
+    prof["sum_stages_s"] = round(sum(
+        v for k, v in prof.items() if k.endswith("_s")), 3)
+    return prof
 
 
 def bench_standard():

@@ -23,10 +23,13 @@ import numpy as np
 import pandas as pd
 from scipy import stats
 
+from typing import NamedTuple
+
 from .config import GwasConfig, from_env
 from .core import assoc as assoc_mod
-from .core.assoc import NullFit, assoc_block, fit_null
+from .core.assoc import ImplicitCtx, NullFit, assoc_block, fit_null
 from .core.eigen import auto_eigendecompose, loading_transform, rotate
+from .core.grams import pdot
 from .utils.logging import StageLogger
 
 _CACHE_SET = False
@@ -93,6 +96,71 @@ def _assoc_block_jit(ev, W, y, Xblock, cfg, null_arr, de):
 @partial(jax.jit, static_argnames=("cfg",))
 def _fit_null_jit(ev, W, y, cfg):
     nf = fit_null(ev, W, y, cfg)
+    return jnp.stack([nf.lambda_reml, nf.lambda_ml, nf.loglik_ml])
+
+
+# --- implicit low-rank scan helpers (no n x n eigenbasis; see
+# core/lowrank.py::ImplicitBasis and core/grams.py::GramComplement) --------
+
+
+class _ImplicitScan(NamedTuple):
+    """Driver-side bundle for the implicit low-rank scan path.
+
+    ``prep_fn``/``assoc_fn`` are set on the mesh path (shard_map programs
+    from :mod:`pygemma_tpu.parallel.dist`); None selects the single-device
+    jits below.
+    """
+
+    U_top: jax.Array  # (n, p_k)
+    W_raw: jax.Array  # (n, c) UNROTATED covariates
+    Y_raw: jax.Array  # (n, k) UNROTATED phenotypes
+    eps: float
+    n_total: int
+    prep_fn: object = None
+    assoc_fn: object = None
+
+
+@jax.jit
+def _raw_gram(shared_raw):
+    return pdot(shared_raw.T, shared_raw)
+
+
+@jax.jit
+def _implicit_prep(U_top, shared_raw, xb):
+    """Per-block top-space rotation + lambda-independent raw terms.
+
+    Replaces the n x n rotation GEMM (core/eigen.py::rotate) with an
+    n x p_k one plus an n x s raw cross GEMM -- the only O(n) work the
+    implicit scan does per block.
+    """
+    C_x = pdot(U_top.T, xb)  # (p_k, B)
+    vS_raw = pdot(xb.T, shared_raw)  # (B, s)
+    vv_raw = jnp.sum(xb * xb, axis=0)  # (B,)
+    return C_x, vS_raw, vv_raw
+
+
+@partial(jax.jit, static_argnames=("cfg", "de", "n_total"))
+def _assoc_block_implicit_jit(ev_top, W_c, y_c, C_x, cfg, null_arr, de,
+                              eps, S_raw, vS_raw, vv_raw, n_total):
+    null = (
+        NullFit(null_arr[0], null_arr[1], null_arr[2])
+        if null_arr is not None else None
+    )
+    ictx = ImplicitCtx(eps, n_total, S_raw, vS_raw, vv_raw)
+    res = assoc_block(ev_top, W_c, y_c, C_x, cfg, null=null, de=de,
+                      implicit=ictx)
+    d = res._asdict()
+    return jnp.stack([d[k] for k in _result_keys(cfg)])
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_total"))
+def _fit_null_implicit_jit(ev_top, W_c, y_c, cfg, eps, S_raw, n_total):
+    # the per-SNP residual fields are unused by the null fit
+    s = S_raw.shape[0]
+    ictx = ImplicitCtx(eps, n_total, S_raw,
+                       jnp.zeros((1, s), S_raw.dtype),
+                       jnp.zeros((1,), S_raw.dtype))
+    nf = fit_null(ev_top, W_c, y_c, cfg, implicit=ictx)
     return jnp.stack([nf.lambda_reml, nf.lambda_ml, nf.loglik_ml])
 
 
@@ -286,7 +354,67 @@ def pygemma(
             )
 
     # --- eigendecomposition + rotation (lmm/lmm.py:151-167, 243-246) -------
-    if eigen:
+    impl = None  # _ImplicitScan when the implicit low-rank path is active
+    use_implicit = (
+        eigen
+        and isinstance(K, LowRankKinship)
+        and cfg.lowrank_implicit is not False
+    )
+    if use_implicit:
+        key_i = (eig_key + "|implicit") if eig_key else ""
+        dev_cached = _EIGEN_DEV_CACHE.get(key_i) if key_i else None
+        if dev_cached is not None:
+            ev_dev, U_top = dev_cached
+        else:
+            cached = ckpt.load_eigen(key_i) if ckpt is not None else None
+            if cached is not None:
+                ev_dev = jnp.asarray(cached[0])
+                U_top = jnp.asarray(cached[1])
+            else:
+                with log.stage("implicit low-rank eigendecomposition"):
+                    from .core.lowrank import lowrank_top_basis
+
+                    basis = lowrank_top_basis(K, cfg.eigh_backend)
+                    ev_dev, U_top = basis.ev_top, basis.U_top
+                    ev_dev.block_until_ready()
+                if ckpt is not None:
+                    ckpt.save_eigen(np.asarray(ev_dev), np.asarray(U_top),
+                                    key_i)
+            if key_i:
+                _EIGEN_DEV_CACHE.clear()
+                _EIGEN_DEV_CACHE[key_i] = (ev_dev, U_top)
+        prep_fn = assoc_fn_impl = None
+        if mesh is not None:
+            # the (n, p_k) top basis replicates onto the mesh (feasible at
+            # any n, unlike the n x n explicit basis) and the scan runs as
+            # SNP-sharded shard_map programs
+            from .parallel.dist import (
+                sharded_assoc_implicit_fn,
+                sharded_implicit_prep_fn,
+            )
+            from .parallel.mesh import replicated as _replicated
+
+            rep = _replicated(mesh)
+            ev_dev = jax.device_put(ev_dev, rep)
+            U_top = jax.device_put(U_top, rep)
+            with_null = ("lrt" in cfg.tests) or ("score" in cfg.tests)
+            prep_fn = sharded_implicit_prep_fn(mesh, cfg)
+            assoc_fn_impl = sharded_assoc_implicit_fn(
+                mesh, cfg, n_total=n, de=de, with_null=with_null,
+                keys=tuple(_result_keys(cfg)),
+            )
+        with log.stage("rotation of W, Y (top space)"):
+            W_raw_dev = jnp.asarray(W)
+            Y_raw_dev = jnp.asarray(Y)
+            if mesh is not None:
+                W_raw_dev = jax.device_put(W_raw_dev, rep)
+                Y_raw_dev = jax.device_put(Y_raw_dev, rep)
+            W_dev = rotate(U_top, W_raw_dev)
+            Y_dev = rotate(U_top, Y_raw_dev)
+        U_dev = None  # no n x n basis exists on this path
+        impl = _ImplicitScan(U_top, W_raw_dev, Y_raw_dev, float(K.eps), n,
+                             prep_fn, assoc_fn_impl)
+    elif eigen:
         dev_cached = _EIGEN_DEV_CACHE.get(eig_key) if eig_key else None
         if dev_cached is not None and mesh is None:
             ev_dev, U_dev = dev_cached
@@ -348,14 +476,14 @@ def pygemma(
     # Batched multi-phenotype scan: one vmapped executable for all
     # phenotypes (eQTL-style workloads; reference runs a SLURM array per
     # gene instead, experiments/1000G/run_pyGEMMA.sh:43-52).
-    if n_pheno >= 3 and mesh is None and ckpt is None:
+    if n_pheno >= 3 and mesh is None and ckpt is None and impl is None:
         frames = _scan_phenos_batched(
             X, Y_dev, W_dev, ev_dev, U_dev, cfg, de, n, p, log
         )
     else:
         frames = _scan_phenos_looped(
             X, Y_dev, W_dev, ev_dev, U_dev, cfg, de, n, p, B, log,
-            ckpt, mesh, xb_sharding, rot_fn, assoc_fn,
+            ckpt, mesh, xb_sharding, rot_fn, assoc_fn, impl,
         )
     results_df = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
     if snps is not None:
@@ -366,17 +494,31 @@ def pygemma(
 
 
 def _scan_phenos_looped(X, Y_dev, W_dev, ev_dev, U_dev, cfg, de, n, p, B, log,
-                        ckpt, mesh, xb_sharding, rot_fn, assoc_fn):
+                        ckpt, mesh, xb_sharding, rot_fn, assoc_fn, impl=None):
     n_pheno = Y_dev.shape[1]
     c = W_dev.shape[1]
     dtype = X.dtype
     frames = []
     for ph in range(n_pheno):
         y_dev = Y_dev[:, ph]
+        shared_raw = S_raw = eps_arr = None
+        if impl is not None:
+            # lambda-independent raw Gram of [W, y]: once per phenotype
+            shared_raw = jnp.concatenate(
+                [impl.W_raw, impl.Y_raw[:, ph:ph + 1]], axis=1
+            )
+            S_raw = _raw_gram(shared_raw)
+            eps_arr = jnp.asarray(impl.eps, S_raw.dtype)
         null_arr = None
         if ("lrt" in cfg.tests) or ("score" in cfg.tests):
             with log.stage("null-model fit"):
-                null_arr = _fit_null_jit(ev_dev, W_dev, y_dev, cfg)
+                if impl is not None:
+                    null_arr = _fit_null_implicit_jit(
+                        ev_dev, W_dev, y_dev, cfg, eps_arr, S_raw,
+                        impl.n_total,
+                    )
+                else:
+                    null_arr = _fit_null_jit(ev_dev, W_dev, y_dev, cfg)
 
         cols = {k: [] for k in ("beta", "se_beta", "tau", "lambda", "F_wald")}
         if "lrt" in cfg.tests:
@@ -457,7 +599,25 @@ def _scan_phenos_looped(X, Y_dev, W_dev, ev_dev, U_dev, cfg, de, n, p, B, log,
                     pending.append(("blk", ckpt.load_block(ph * p + start)))
                     continue
                 xb_dev = prefetched[2]
-                if mesh is not None:
+                if impl is not None:
+                    if impl.prep_fn is not None:  # mesh (SNP-sharded) path
+                        C_x, vS_raw, vv_raw = impl.prep_fn(
+                            impl.U_top, shared_raw, xb_dev
+                        )
+                        args = (ev_dev, W_dev, y_dev, C_x, eps_arr, S_raw,
+                                vS_raw, vv_raw)
+                        if null_arr is not None:
+                            args = args + (null_arr,)
+                        stacked = impl.assoc_fn(*args)
+                    else:
+                        C_x, vS_raw, vv_raw = _implicit_prep(
+                            impl.U_top, shared_raw, xb_dev
+                        )
+                        stacked = _assoc_block_implicit_jit(
+                            ev_dev, W_dev, y_dev, C_x, cfg, null_arr, de,
+                            eps_arr, S_raw, vS_raw, vv_raw, impl.n_total,
+                        )
+                elif mesh is not None:
                     if U_dev is not None:
                         xb_dev = rot_fn(jnp.asarray(U_dev), xb_dev)
                     args = (ev_dev, W_dev, y_dev, xb_dev)

@@ -40,6 +40,13 @@ class GwasConfig:
     #: falls back to host LAPACK when XLA's QDWH-eigh scratch (~30 n^2
     #: floats) cannot fit the available device HBM.
     eigh_backend: str = "auto"
+    #: implicit-complement scan for LowRankKinship inputs: rotate only into
+    #: the p_k-dim top eigenspace and fold the eps-complement in through
+    #: lambda-independent residual Grams (core/grams.py::GramComplement) --
+    #: no n x n eigenbasis is ever built.  None = auto (on whenever K is a
+    #: LowRankKinship and no mesh is given); False forces the explicit
+    #: full-basis path (parity tests).
+    lowrank_implicit: Optional[bool] = None
 
     # --- lambda optimizer ---------------------------------------------------
     #: decade-bracket endpoints: lambda in [10**low, 10**high]

@@ -19,10 +19,12 @@ import jax.numpy as jnp
 from ..config import GwasConfig, MIN_VAL
 from . import reml
 from .grams import (
+    GramComplement,
     grams_per_snp_lambda,
     grams_per_snp_lambda_fused,
     grams_shared_lambda,
     pair_products,
+    pdot,
     permute_x_before_y,
 )
 from .solver import LambdaProblem, solve_lambda
@@ -46,6 +48,38 @@ class NullFit(NamedTuple):
     lambda_reml: jnp.ndarray  # () REML lambda under y ~ W
     lambda_ml: jnp.ndarray  # () ML lambda under y ~ W
     loglik_ml: jnp.ndarray  # () ML log-likelihood at lambda_ml
+
+
+class ImplicitCtx(NamedTuple):
+    """Implicit low-rank kinship context for one association block.
+
+    Marks that ``ev``/``W``/``y``/``X`` handed to :func:`assoc_block` live
+    in the p_k-dimensional TOP eigenspace (rotated by U_top only; see
+    core/lowrank.py::ImplicitBasis) and carries the raw (unrotated) Gram
+    terms the complement correction needs.  ``S_raw`` is the (s, s) Gram of
+    the raw [W, y] columns; ``vS_raw``/``vv_raw`` are the raw genotype
+    cross/self terms, all lambda-independent and computed once per block.
+    """
+
+    eps: jnp.ndarray  # () complement eigenvalue (the kinship ridge)
+    n_total: int  # static: TRUE sample count n
+    S_raw: jnp.ndarray  # (s, s)
+    vS_raw: jnp.ndarray  # (B, s)
+    vv_raw: jnp.ndarray  # (B,)
+
+
+def _implicit_complement(implicit: ImplicitCtx, shared_c: jnp.ndarray,
+                         C_x: jnp.ndarray) -> GramComplement:
+    """Residual Grams R = T'T - C'C over columns [shared | x].
+
+    Exact in infinite precision because U_top's columns are orthonormal;
+    computed at Precision.HIGH like every other Gram contraction.
+    """
+    R_S = implicit.S_raw - pdot(shared_c.T, shared_c)
+    R_vS = implicit.vS_raw - pdot(C_x.T, shared_c)
+    R_vv = implicit.vv_raw - jnp.sum(C_x * C_x, axis=0)
+    n_comp = implicit.n_total - shared_c.shape[0]
+    return GramComplement(implicit.eps, n_comp, R_S, R_vS, R_vv)
 
 
 class AssocResult(NamedTuple):
@@ -80,56 +114,83 @@ def chi2_sf_1df(x):
     return jax.scipy.special.gammaincc(0.5, jnp.maximum(x, 0.0) / 2.0)
 
 
-def fit_null(ev, W, y, cfg: GwasConfig) -> NullFit:
-    """Fit the null model y ~ W once per phenotype (for score/LRT tests)."""
+def fit_null(ev, W, y, cfg: GwasConfig,
+             implicit: Optional[ImplicitCtx] = None) -> NullFit:
+    """Fit the null model y ~ W once per phenotype (for score/LRT tests).
+
+    With ``implicit``, W/y are U_top-rotated and ``implicit.S_raw`` is the
+    raw (s, s) Gram of [W, y]; the null-design residuals are carved out of
+    it (shared = W, outcome = y).
+    """
     n, c = W.shape
+    comp = None
+    if implicit is not None:
+        n = implicit.n_total
+        full_c = jnp.concatenate([W, y[:, None]], axis=1)  # (p_k, c+1)
+        R_full = implicit.S_raw - pdot(full_c.T, full_c)
+        comp = GramComplement(
+            implicit.eps, implicit.n_total - W.shape[0],
+            R_full[:c, :c], R_full[c:c + 1, :c], R_full[c, c][None],
+        )
     pairs = pair_products(W)
     v = y[:, None]
     v2 = v * v
-    prob_reml = LambdaProblem(ev, W, pairs, v, v2, n, c, False, True)
+    prob_reml = LambdaProblem(ev, W, pairs, v, v2, n, c, False, True,
+                              comp=comp)
     lam_reml, _ = solve_lambda(prob_reml, cfg)
-    prob_ml = LambdaProblem(ev, W, pairs, v, v2, n, c, False, False)
+    prob_ml = LambdaProblem(ev, W, pairs, v, v2, n, c, False, False,
+                            comp=comp)
     lam_ml, logl_ml = solve_lambda(prob_ml, cfg)
     return NullFit(lam_reml[0], lam_ml[0], logl_ml[0])
 
 
 def assoc_block(
-    ev: jnp.ndarray,  # (n,) clamped kinship eigenvalues
+    ev: jnp.ndarray,  # (n,) clamped kinship eigenvalues (or (p_k,) implicit)
     W: jnp.ndarray,  # (n, c) rotated covariates
     y: jnp.ndarray,  # (n,) rotated phenotype
     X: jnp.ndarray,  # (n, B) rotated genotype block
     cfg: GwasConfig,
     null: Optional[NullFit] = None,
     de: bool = False,
+    implicit: Optional[ImplicitCtx] = None,
 ) -> AssocResult:
     """Run the LMM association tests for one SNP block.
 
     Standard mode fits  y = W a + x b + u + e  per SNP x; DE mode
     (reference lmm/lmm.py:498-532) swaps roles and fits  x = W a + y b + u + e.
+    With ``implicit`` the inputs are U_top-rotated (p_k rows) and the
+    complement enters through lambda-independent residual Grams.
     """
     n, c = W.shape
+    if implicit is not None:
+        n = implicit.n_total
     B = X.shape[1]
     dtype = X.dtype
     shared = jnp.concatenate([W, y[:, None]], axis=1)  # (n, c+1): [W, y]
     pairs = pair_products(shared)
     X2 = X * X
     fused = _use_fused(cfg, dtype)
+    comp = (
+        _implicit_complement(implicit, shared, X)
+        if implicit is not None else None
+    )
 
     # Lambda optimization with the full design.  Standard: design [W, x]
     # (permuted Gram order [W, x, y]); DE: design [W, y], outcome x.
     prob = LambdaProblem(
-        ev, shared, pairs, X, X2, n, c + 1, not de, True, fused
+        ev, shared, pairs, X, X2, n, c + 1, not de, True, fused, comp
     )
     lam_star, _ = solve_lambda(prob, cfg)
 
     # Final statistics at lambda*: one k=1 Gram build.
     if fused:
         grams, sums = grams_per_snp_lambda_fused(
-            lam_star, ev, shared, pairs, X, (1,), want_logh=False
+            lam_star, ev, shared, pairs, X, (1,), want_logh=False, comp=comp
         )
     else:
         grams, sums = grams_per_snp_lambda(
-            lam_star, ev, shared, pairs, X, X2, (1,), want_logh=False
+            lam_star, ev, shared, pairs, X, X2, (1,), want_logh=False,
+            comp=comp
         )
     A1 = grams[0]
     if not de:
@@ -153,7 +214,7 @@ def assoc_block(
     if "lrt" in cfg.tests:
         # GEMMA -lmm 2: ML lambda per SNP, D = 2(l1 - l0), chi^2(1).
         prob_ml = LambdaProblem(
-            ev, shared, pairs, X, X2, n, c + 1, not de, False, fused
+            ev, shared, pairs, X, X2, n, c + 1, not de, False, fused, comp
         )
         lam_ml, logl_H1 = solve_lambda(prob_ml, cfg)
         assert null is not None, "LRT requires a null-model fit"
@@ -165,7 +226,8 @@ def assoc_block(
         # GEMMA -lmm 3: score statistic at the null REML lambda.
         assert null is not None, "score test requires a null-model fit"
         grams0, _ = grams_shared_lambda(
-            null.lambda_reml.astype(dtype), ev, shared, pairs, X, X2, (1,)
+            null.lambda_reml.astype(dtype), ev, shared, pairs, X, X2, (1,),
+            comp=comp,
         )
         A1s = grams0[0]
         if not de:

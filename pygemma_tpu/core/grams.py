@@ -58,6 +58,42 @@ class GramSums(NamedTuple):
     sum_logh: jnp.ndarray
 
 
+class GramComplement(NamedTuple):
+    """Implicit-complement extension of a Gram problem (low-rank kinship).
+
+    For K = s*GG' + eps*I the (n - p_k)-dimensional complement eigenspace
+    has the SINGLE eigenvalue eps, so the scan never needs the n x n
+    eigenbasis (the reference's SLATE seam, experiments/large_gwas/
+    run_pygemma.sh:17-34, lmm/lmm.py:196-211): rotate columns only into the
+    p_k-dimensional TOP space (c = U_top' t) and carry the lambda-INDEPENDENT
+    residual Grams
+
+        R = T'T - C'C          (split as R_S / R_vS / R_vv below)
+
+    once per block.  Every weighted Gram then corrects in O(s^2) per SNP:
+
+        A_k = [c-space Gram with weights (lam*ev_top + 1)^-k]
+              + w_c^k * R,              w_c = 1/(lam*eps + 1)
+        sum_{d^k} += n_comp * w_c^k;    sum_logh += n_comp*log(lam*eps + 1)
+
+    ``n_comp`` = n - p_k (static).  Rank-deficient Gram directions keep a
+    zero U_top column with ev_top = eps, so shapes stay static and the
+    residual picks their mass up at exactly the complement weight.
+    """
+
+    eps: jnp.ndarray  # () ridge = the complement eigenvalue
+    n_comp: int  # static: n - p_k
+    R_S: jnp.ndarray  # (s, s) residual Gram of the shared columns
+    R_vS: jnp.ndarray  # (B, s) residual cross terms of the per-SNP column
+    R_vv: jnp.ndarray  # (B,)   residual self terms
+
+
+def _complement_wc(lam, comp: GramComplement):
+    """w_c = 1/(lam*eps + 1) and log(lam*eps + 1), shaped like ``lam``."""
+    he = lam * comp.eps + 1.0
+    return 1.0 / he, jnp.log(he)
+
+
 def pair_index(s: int) -> Tuple[np.ndarray, np.ndarray]:
     """Upper-triangle (i<=j) index pair arrays for s shared columns."""
     return np.triu_indices(s)
@@ -104,6 +140,42 @@ def _assemble(
     return A
 
 
+def _complement_correct(grams, sums, ks, comp: "GramComplement", lam,
+                        mode: str, want_logh: bool):
+    """Fold the implicit complement into c-space Grams/sums (O(s^2)/SNP).
+
+    ``mode`` names the lambda layout: "scalar" (lam (), A (B,t,t), sums
+    scalar), "multi" (lam (G,), A (G,B,t,t), sums (G,1)), "per_snp"
+    (lam (B,), A (B,t,t), sums (B,)), "slots" (lam (B,R), A (B,R,t,t),
+    sums (B,R)).
+    """
+    wc, logc = _complement_wc(lam, comp)
+    B = comp.R_vS.shape[0]
+    s = comp.R_S.shape[-1]
+    R = _assemble(comp.R_S, comp.R_vS, comp.R_vv, B, s)  # (B, t, t)
+    if mode == "scalar":
+        eg = es = lambda w: w
+    elif mode == "multi":
+        eg = lambda w: w[:, None, None, None]
+        es = lambda w: w[:, None]
+    elif mode == "per_snp":
+        eg = lambda w: w[:, None, None]
+        es = lambda w: w
+    else:  # "slots"
+        R = R[:, None]
+        eg = lambda w: w[:, :, None, None]
+        es = lambda w: w
+    nc = float(comp.n_comp)
+    grams = tuple(A + eg(wc ** k) * R for A, k in zip(grams, sorted(ks)))
+    sums = GramSums(
+        sum_d=sums.sum_d + nc * es(wc),
+        sum_d2=sums.sum_d2 + nc * es(wc * wc),
+        sum_logh=sums.sum_logh + nc * es(logc)
+        if want_logh else sums.sum_logh,
+    )
+    return grams, sums
+
+
 def grams_shared_lambda(
     lam: jnp.ndarray,  # scalar
     ev: jnp.ndarray,  # (n,)
@@ -113,6 +185,7 @@ def grams_shared_lambda(
     v2: jnp.ndarray,  # (n, B) = v * v
     ks: Sequence[int],
     want_logh: bool = False,
+    comp: "GramComplement" = None,
 ) -> Tuple[Tuple[jnp.ndarray, ...], GramSums]:
     """Gram tensors with one lambda for the whole SNP block.
 
@@ -137,6 +210,9 @@ def grams_shared_lambda(
         sum_d2=jnp.sum(d * d),
         sum_logh=jnp.sum(jnp.log(h)) if want_logh else jnp.zeros((), d.dtype),
     )
+    if comp is not None:
+        return _complement_correct(tuple(grams), sums, ks, comp, lam,
+                                   "scalar", want_logh)
     return tuple(grams), sums
 
 
@@ -149,6 +225,7 @@ def grams_shared_multi(
     v2: jnp.ndarray,  # (n, B)
     ks: Sequence[int],
     want_logh: bool = False,
+    comp: "GramComplement" = None,
 ) -> Tuple[Tuple[jnp.ndarray, ...], GramSums]:
     """Gram tensors for a whole lambda *grid* at once: (G, B, s+1, s+1).
 
@@ -193,6 +270,9 @@ def grams_shared_multi(
         if want_logh
         else jnp.zeros((G, 1), d.dtype),
     )
+    if comp is not None:
+        return _complement_correct(tuple(grams), sums, ks, comp, lams,
+                                   "multi", want_logh)
     return tuple(grams), sums
 
 
@@ -205,6 +285,7 @@ def grams_per_snp_lambda(
     v2: jnp.ndarray,  # (n, B)
     ks: Sequence[int],
     want_logh: bool = False,
+    comp: "GramComplement" = None,
 ) -> Tuple[Tuple[jnp.ndarray, ...], GramSums]:
     """Gram tensors with an independent lambda per SNP.
 
@@ -232,6 +313,9 @@ def grams_per_snp_lambda(
         if want_logh
         else jnp.zeros((B,), d.dtype),
     )
+    if comp is not None:
+        return _complement_correct(tuple(grams), sums, ks, comp, lam,
+                                   "per_snp", want_logh)
     return tuple(grams), sums
 
 
@@ -243,6 +327,7 @@ def grams_per_snp_lambda_fused(
     v: jnp.ndarray,  # (n, B) per-SNP columns (natural genotype layout)
     ks: Sequence[int],
     want_logh: bool = False,
+    comp: "GramComplement" = None,
 ) -> Tuple[Tuple[jnp.ndarray, ...], GramSums]:
     """Pallas-fused variant of :func:`grams_per_snp_lambda` (TPU only).
 
@@ -265,6 +350,13 @@ def grams_per_snp_lambda_fused(
             _assemble_nd(S_k, vS[..., k - 1, :], vv[..., k - 1])
         )
     sums = GramSums(sum_d=sum_d, sum_d2=sum_d2, sum_logh=sum_logh)
+    if comp is not None:
+        # the complement correction stays OUTSIDE the Pallas kernel: it is
+        # O(s^2) per (SNP, slot) VPU work that XLA fuses on its own
+        return _complement_correct(
+            tuple(grams), sums, ks, comp, lam,
+            "per_snp" if lam.ndim == 1 else "slots", want_logh,
+        )
     return tuple(grams), sums
 
 
@@ -277,11 +369,12 @@ def grams_per_snp_lambda_slots(
     v2: jnp.ndarray,
     ks: Sequence[int],
     want_logh: bool = False,
+    comp: "GramComplement" = None,
 ) -> Tuple[Tuple[jnp.ndarray, ...], GramSums]:
     """XLA fallback for multi-slot lambda: per-slot builds stacked on axis 1."""
     parts = [
         grams_per_snp_lambda(lam[:, r], ev, shared, pairs, v, v2, ks,
-                             want_logh=want_logh)
+                             want_logh=want_logh, comp=comp)
         for r in range(lam.shape[1])
     ]
     grams = tuple(

@@ -27,13 +27,36 @@ against the dense-K path.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 _HI = jax.lax.Precision.HIGHEST
+
+
+class ImplicitBasis(NamedTuple):
+    """Top eigenspace of a low-rank kinship, WITHOUT the n x n basis.
+
+    Because every complement direction of K = s*GG' + eps*I shares the
+    single eigenvalue eps, the association scan never needs an explicit
+    complement basis: Grams are built from ``C = U_top' T`` plus
+    lambda-independent residuals (core/grams.py::GramComplement).  This is
+    the memory/compute unlock for the n = 50k reference design point
+    (experiments/large_gwas/run_pygemma.sh:17-34): the basis footprint
+    drops from n^2 to n*p_k and the per-block rotation GEMM from n^2*B to
+    n*p_k*B.
+
+    ``ev_top``: (p_k,) kinship eigenvalues of the top space (a_i + eps,
+    ascending; rank-deficient Gram directions hold exactly eps).
+    ``U_top``: (n, p_k) orthonormal columns (zero on rank-deficient dirs).
+    """
+
+    ev_top: jnp.ndarray
+    U_top: jnp.ndarray
+    eps: float
+    n: int
 
 
 class LowRankKinship:
@@ -115,6 +138,79 @@ def _complement_qr(U_top, Z):
     return Q
 
 
+def _stream_gram(lrk: LowRankKinship, block: int):
+    """Stream G's columns to device once and build the scaled p_k x p_k
+    Gram (packed/quantized sources ship codes and dequantize on device)."""
+    from ..io.streaming import SnpBlockStreamer
+
+    pk = lrk.pk
+    cols = [xb[:, : min(stop, pk) - start]
+            for start, stop, xb in SnpBlockStreamer(lrk.G, min(block, pk))]
+    G_dev = cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=1)
+    del cols
+    return _gram_scaled(G_dev.astype(jnp.float32),
+                        jnp.float32(lrk.scale), lrk.center)
+
+
+def _top_space(lrk: LowRankKinship, backend: str, block: int,
+               rank_rtol: float, timings: Optional[dict] = None):
+    """(ev_top, U_top, n_null): the exact top eigenspace of K.
+
+    ev_top holds a_i + eps for kept Gram directions and exactly eps for
+    rank-deficient ones (whose U_top column is zeroed), so downstream
+    weight sums over the p_k entries are exact with static shapes.
+
+    ``timings`` (optional dict) receives per-stage wall seconds -- with
+    device syncs at the stage boundaries, so only pass it when profiling.
+    """
+    import time as _t
+
+    from .eigen import auto_eigendecompose
+
+    t0 = _t.time()
+    A, Gc_dev = _stream_gram(lrk, block)
+    if timings is not None:
+        A.block_until_ready()
+        timings["stream_gram_s"] = round(_t.time() - t0, 3)
+        t0 = _t.time()
+    a, V = auto_eigendecompose(A, backend=backend, dtype=np.float32)
+    a = jnp.maximum(jnp.asarray(a), 0.0)
+    V = jnp.asarray(V)
+    if timings is not None:
+        a.block_until_ready()
+        timings["gram_eigh_s"] = round(_t.time() - t0, 3)
+        t0 = _t.time()
+    rank_tol = float(rank_rtol) * float(jnp.max(a))
+    U_top, a_ok = _top_basis(Gc_dev, V, a, lrk.scale, rank_tol)
+    n_null = int(jnp.sum(~a_ok))
+    ev_top = jnp.where(a_ok, a, 0.0) + jnp.float32(lrk.eps)
+    if timings is not None:
+        U_top.block_until_ready()
+        timings["top_basis_s"] = round(_t.time() - t0, 3)
+    return ev_top, U_top, a, a_ok, n_null
+
+
+def lowrank_top_basis(
+    lrk: LowRankKinship,
+    backend: str = "auto",
+    block: int = 8192,
+    rank_rtol: float = 1e-6,
+    timings: Optional[dict] = None,
+) -> ImplicitBasis:
+    """Implicit eigendecomposition: top space only, no complement basis.
+
+    The whole cost is one p_k x p_k Gram eigh plus two device GEMMs; the
+    (n - p_k)-dimensional eps-eigenspace is represented symbolically (see
+    :class:`ImplicitBasis`).  Replaces the reference's external SLATE
+    eigendecomposition seam (experiments/large_gwas/run_pygemma.sh:10,28)
+    at ANY n without ever materializing an n x n object.
+    """
+    ev_top, U_top, _, _, _ = _top_space(lrk, backend, block, rank_rtol,
+                                        timings)
+    return ImplicitBasis(jnp.maximum(ev_top, 0.0), U_top,
+                         float(lrk.eps), lrk.n)
+
+
 def lowrank_eigendecompose(
     lrk: LowRankKinship,
     backend: str = "auto",
@@ -128,33 +224,13 @@ def lowrank_eigendecompose(
     Returns eigenvalues ascending with the reference's >=0 clamp
     (lmm/lmm.py:157) and the complete n x n eigenbasis, both device-resident.
     The p_k x p_k Gram eigh runs on device when admissible, else host.
+    Prefer :func:`lowrank_top_basis` for scans: the explicit complement QR
+    below costs O(n^2 (n - p_k)) and an n x n basis; it exists for parity
+    tests and for consumers that genuinely need the full U.
     """
-    from ..io.streaming import SnpBlockStreamer
-    from .eigen import auto_eigendecompose
-
     n, pk = lrk.n, lrk.pk
 
-    # 1) stream G's SNP columns to device once (packed/quantized sources
-    #    ship their codes and dequantize on device), then one MXU Gram
-    cols = [xb[:, : min(stop, pk) - start]
-            for start, stop, xb in SnpBlockStreamer(lrk.G, min(block, pk))]
-    G_dev = cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=1)
-    del cols
-    A, Gc_dev = _gram_scaled(G_dev.astype(jnp.float32),
-                             jnp.float32(lrk.scale), lrk.center)
-    del G_dev
-
-    # 2) eigh of the small Gram (ascending)
-    a, V = auto_eigendecompose(A, backend=backend, dtype=np.float32)
-    a = jnp.maximum(jnp.asarray(a), 0.0)
-    V = jnp.asarray(V)
-
-    # 3) top eigenbasis via one GEMM; rank guard folds near-null directions
-    #    into the eps eigenspace
-    rank_tol = float(rank_rtol) * float(jnp.max(a))
-    U_top, a_ok = _top_basis(Gc_dev, V, a, lrk.scale, rank_tol)
-    n_null = int(jnp.sum(~a_ok))
-    del Gc_dev
+    _, U_top, a, a_ok, n_null = _top_space(lrk, backend, block, rank_rtol)
 
     # 4) complement basis: n - pk dims (+ any rank-deficient Gram dims)
     n_comp = n - pk + n_null

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from ..config import GwasConfig
 from . import reml
 from .grams import (
+    GramComplement,
     grams_per_snp_lambda,
     grams_per_snp_lambda_fused,
     grams_per_snp_lambda_slots,
@@ -53,6 +54,13 @@ class LambdaProblem(NamedTuple):
     with ``permute=False`` it is shared[:, :q] (null model / DE mode).
     ``restricted`` selects REML vs ML.  ``fused=True`` routes per-SNP-lambda
     evaluations through the Pallas fused Gram kernel (TPU only).
+
+    ``comp`` (optional) marks an IMPLICIT low-rank problem: ``ev``/``shared``
+    /``pairs``/``v``/``v2`` then live in the p_k-dimensional top eigenspace
+    (rotated by U_top only) while ``comp`` carries the complement eigenvalue
+    and the lambda-independent residual Grams (see
+    :class:`pygemma_tpu.core.grams.GramComplement`); ``n`` stays the TRUE
+    sample count.
     """
 
     ev: jnp.ndarray
@@ -65,6 +73,7 @@ class LambdaProblem(NamedTuple):
     permute: bool
     restricted: bool
     fused: bool = False
+    comp: Optional[GramComplement] = None
 
 
 _KS = {"d1": (1, 2), "newton": (1, 2, 3), "lik": (1,)}
@@ -82,29 +91,29 @@ def evaluate(problem: LambdaProblem, lam, need: str, shared_lam):
     if shared_lam == "multi":
         grams, sums = grams_shared_multi(
             lam, problem.ev, problem.shared, problem.pairs, problem.v,
-            problem.v2, ks, want_logh=want_logh,
+            problem.v2, ks, want_logh=want_logh, comp=problem.comp,
         )
         lam = lam[:, None]  # broadcast (G, 1) against (G, B) scalars
     elif shared_lam:
         grams, sums = grams_shared_lambda(
             lam, problem.ev, problem.shared, problem.pairs, problem.v,
-            problem.v2, ks, want_logh=want_logh,
+            problem.v2, ks, want_logh=want_logh, comp=problem.comp,
         )
     elif problem.fused:
         grams, sums = grams_per_snp_lambda_fused(
             lam, problem.ev, problem.shared, problem.pairs, problem.v,
-            ks, want_logh=want_logh,
+            ks, want_logh=want_logh, comp=problem.comp,
         )
     elif lam.ndim == 2:
         # (B, R) lambda slots, XLA fallback
         grams, sums = grams_per_snp_lambda_slots(
             lam, problem.ev, problem.shared, problem.pairs, problem.v,
-            problem.v2, ks, want_logh=want_logh,
+            problem.v2, ks, want_logh=want_logh, comp=problem.comp,
         )
     else:
         grams, sums = grams_per_snp_lambda(
             lam, problem.ev, problem.shared, problem.pairs, problem.v,
-            problem.v2, ks, want_logh=want_logh,
+            problem.v2, ks, want_logh=want_logh, comp=problem.comp,
         )
     if problem.permute:
         c = problem.q - 1
@@ -285,8 +294,15 @@ def solve_lambda(problem: LambdaProblem, cfg: GwasConfig):
         sel = jax.lax.dynamic_slice(sorted_idx, (k * B,), (B,))
         snp_idx = sel // R
         valid_c = flat_valid[sel][:, None]  # (B, 1)
+        comp_c = None
+        if problem.comp is not None:
+            # the per-SNP residual terms travel with their lanes
+            comp_c = problem.comp._replace(
+                R_vS=problem.comp.R_vS[snp_idx],
+                R_vv=problem.comp.R_vv[snp_idx],
+            )
         prob_c = problem._replace(
-            v=problem.v[:, snp_idx], v2=problem.v2[:, snp_idx]
+            v=problem.v[:, snp_idx], v2=problem.v2[:, snp_idx], comp=comp_c
         )
         lam_c, lik_c = refine_body(
             prob_c, lo0_f[sel][:, None], hi0_f[sel][:, None],

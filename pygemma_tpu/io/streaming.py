@@ -35,13 +35,23 @@ class SnpBlockStreamer:
 
     def __init__(self, X, block: int, dtype=np.float32,
                  device: Optional[jax.Device] = None,
-                 shardings: Optional[Tuple] = None):
+                 shardings: Optional[Tuple] = None,
+                 depth: Optional[int] = None):
         self.X = X
         self.block = block
         self.dtype = dtype
         self.device = device or jax.devices()[0]
         self.shardings = shardings
         self.p = X.shape[1]
+        # prefetch depth: how many blocks are sliced/shipped ahead of the
+        # consumer.  2 keeps the link busy even when the consumer stalls a
+        # beat on dispatch; device_put is async so deeper pipelines mostly
+        # add host RAM, not speed.  Env override for measurements.
+        import os
+
+        self.depth = max(1, int(
+            depth if depth is not None
+            else os.environ.get("PYGEMMA_TPU_PREFETCH", "2")))
 
     def _put(self, arr, vec: bool = False):
         if self.shardings is not None:
@@ -88,10 +98,21 @@ class SnpBlockStreamer:
         starts = list(range(0, self.p, self.block))
         if not starts:
             return
+        from collections import deque
+
+        # one worker thread keeps host slicing/packing serial (it is
+        # memmap-read bound); up to ``depth`` transfers ride the link ahead
+        # of the consumer
         with cf.ThreadPoolExecutor(max_workers=1) as pool:
-            fut = pool.submit(self._fetch, starts[0])
-            for nxt in starts[1:]:
-                cur = fut.result()
-                fut = pool.submit(self._fetch, nxt)
+            pending = deque()
+            it = iter(starts)
+            for s in it:
+                pending.append(pool.submit(self._fetch, s))
+                if len(pending) >= self.depth:
+                    break
+            for nxt in it:
+                cur = pending.popleft().result()
+                pending.append(pool.submit(self._fetch, nxt))
                 yield cur
-            yield fut.result()
+            while pending:
+                yield pending.popleft().result()

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import GwasConfig
-from ..core.assoc import NullFit, assoc_block
+from ..core.assoc import ImplicitCtx, NullFit, assoc_block
 from ..core.eigen import eigendecompose
 
 from .mesh import replicated, result_sharding, snp_sharding
@@ -72,6 +72,66 @@ def sharded_assoc_fn(mesh: Mesh, cfg: GwasConfig, de: bool = False,
     # (per-shard genotype) and replicated (bracket-grid) carries, which the
     # varying-manual-axes checker cannot type; the body is collective-free
     # by construction, so the check adds nothing here.
+    return jax.jit(jax.shard_map(
+        step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    ))
+
+
+def sharded_implicit_prep_fn(mesh: Mesh, cfg: GwasConfig):
+    """Top-space rotation + raw residual terms, SNP-parallel.
+
+    U_top (n, p_k) and shared_raw (n, s) are replicated; the genotype block
+    and every output are sharded over the snp axis.  Both contractions run
+    over the (local) sample axis, so the step is collective-free -- the
+    multi-chip analogue of :func:`pygemma_tpu.api._implicit_prep`.
+    """
+    rep = replicated(mesh)
+    xsh = snp_sharding(mesh, cfg.snp_axis)  # (n, B) / (p_k, B)
+    rsh = NamedSharding(mesh, P(cfg.snp_axis, None))  # (B, s)
+    vsh = NamedSharding(mesh, P(cfg.snp_axis))  # (B,)
+
+    def prep(U_top, shared_raw, xb):
+        hi = jax.lax.Precision.HIGH
+        C_x = jnp.dot(U_top.T, xb, precision=hi)
+        vS_raw = jnp.dot(xb.T, shared_raw, precision=hi)
+        vv_raw = jnp.sum(xb * xb, axis=0)
+        return C_x, vS_raw, vv_raw
+
+    return jax.jit(prep, in_shardings=(rep, rep, xsh),
+                   out_shardings=(xsh, rsh, vsh))
+
+
+def sharded_assoc_implicit_fn(mesh: Mesh, cfg: GwasConfig, n_total: int,
+                              de: bool = False, with_null: bool = False,
+                              keys=None):
+    """Implicit-complement association step under ``shard_map``.
+
+    Per-device body = :func:`assoc_block` with an :class:`ImplicitCtx` built
+    from the local shard's residual terms -- per-SNP work only, so it stays
+    collective-free like :func:`sharded_assoc_fn`.
+    """
+
+    def step(ev_top, W_c, y_c, C_x, eps, S_raw, vS_raw, vv_raw,
+             null_arr=None):
+        null = (
+            NullFit(null_arr[0], null_arr[1], null_arr[2])
+            if null_arr is not None
+            else None
+        )
+        ictx = ImplicitCtx(eps, n_total, S_raw, vS_raw, vv_raw)
+        res = assoc_block(ev_top, W_c, y_c, C_x, cfg, null=null, de=de,
+                          implicit=ictx)
+        d = res._asdict()
+        if keys is not None:
+            return jnp.stack([d[k] for k in keys])
+        return {k: v for k, v in d.items() if v is not None}
+
+    rep = P()
+    in_specs = (rep, rep, rep, P(None, cfg.snp_axis), rep, rep,
+                P(cfg.snp_axis, None), P(cfg.snp_axis)) + \
+        ((rep,) if with_null else ())
+    out_specs = P(None, cfg.snp_axis) if keys is not None else P(cfg.snp_axis)
     return jax.jit(jax.shard_map(
         step, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=False,

@@ -199,3 +199,35 @@ def test_pygemma_mesh_lowrank_kinship(data):
     lp = -np.log10(np.maximum(df_lr["p_wald"], 1e-300))
     ls = -np.log10(np.maximum(df_dn["p_wald"], 1e-300))
     np.testing.assert_allclose(lp, ls, rtol=5e-2, atol=5e-2)
+
+
+def test_pygemma_mesh_implicit_packed_all_tests(data):
+    """Round-3 verdict next #6: 2-bit packed streaming + implicit low-rank
+    kinship + Wald/LRT/score under the mesh must match the float32
+    single-device scan."""
+    from pygemma_tpu import GwasConfig as C, LowRankKinship, pygemma
+    from pygemma_tpu.io.packed import PackedMatrix
+
+    y, G, W, _ = data
+    rng = np.random.default_rng(23)
+    n = G.shape[0]
+    codes = rng.integers(0, 3, size=(n, 64)).astype(np.uint8)
+    codes[rng.random(codes.shape) < 0.03] = 3  # missing -> mean imputation
+    X = PackedMatrix.from_codes(codes)
+    Xs = X[:, :]  # dense float32 view of the same data
+    Gk = rng.binomial(2, 0.3, size=(n, 24)).astype(np.float32)
+    Gk = (Gk - Gk.mean(0)) / np.maximum(Gk.std(0), 1e-6)
+    lrk = LowRankKinship(Gk, eps=1e-3)
+    cfg = C(dtype="float32", snp_block=32, tests=("wald", "lrt", "score"))
+    mesh = make_mesh(snp=4, sample=2)
+    df_mesh = pygemma(y, X, W, lrk, config=cfg, mesh=mesh)
+    df_single = pygemma(y, Xs, W, lrk, config=cfg)
+    np.testing.assert_allclose(df_mesh["beta"], df_single["beta"],
+                               rtol=5e-3, atol=1e-5)
+    for col in ("p_wald", "p_lrt", "p_score"):
+        lp = -np.log10(np.maximum(np.asarray(df_mesh[col], np.float64),
+                                  1e-300))
+        ls = -np.log10(np.maximum(np.asarray(df_single[col], np.float64),
+                                  1e-300))
+        np.testing.assert_allclose(lp, ls, rtol=5e-2, atol=5e-2,
+                                   err_msg=col)
