@@ -240,17 +240,30 @@ def bench_large():
     # kinship: K = GG'/p_k + 1e-3 I, never materialized.
     lrk = LowRankKinship(X.cols(0, k_snps), eps=1e-3)
 
-    # --- eigh: timed fresh every run (the honest replacement cost for the
-    # reference's O(n^3) dense eigh), with per-stage breakdown.  No n x n
-    # basis and no complement QR exist on the implicit path.
+    # --- eigh: timed twice.  The COLD pass carries this tunnel's
+    # per-process one-time costs (remote compile/load plus a first
+    # materialization penalty per executable -- measured: a 3 s packed
+    # dequant bills 265 s on first call); the WARM pass is the recurring
+    # cost a resident process / directly-attached TPU pays.  Both are
+    # reported.  No n x n basis and no complement QR exist on the
+    # implicit path.
+    eigh_stages_cold = {}
+    t0 = time.time()
+    basis = lowrank_top_basis(lrk, timings=eigh_stages_cold)
+    # scalar pulls, not block_until_ready: the tunnel returns from
+    # block_until_ready before remote execution finishes
+    float(jnp.sum(basis.ev_top) + jnp.sum(basis.U_top[0]))
+    eigh_cold_secs = time.time() - t0
+    log(f"implicit low-rank eigh COLD (n={n}, p_k={k_snps}): "
+        f"{eigh_cold_secs:.1f}s stages={eigh_stages_cold}")
+    del basis  # free the (n, p_k) basis before the warm pass re-derives it
     eigh_stages = {}
     t0 = time.time()
     basis = lowrank_top_basis(lrk, timings=eigh_stages)
-    basis.ev_top.block_until_ready()
-    basis.U_top.block_until_ready()
+    float(jnp.sum(basis.ev_top) + jnp.sum(basis.U_top[0]))
     eigh_secs = time.time() - t0
-    log(f"implicit low-rank eigh (n={n}, p_k={k_snps}): {eigh_secs:.1f}s "
-        f"stages={eigh_stages}")
+    log(f"implicit low-rank eigh WARM (n={n}, p_k={k_snps}): "
+        f"{eigh_secs:.1f}s stages={eigh_stages}")
 
     cfg = GwasConfig(snp_block=block)
     key_i = f"{_kinship_fingerprint(lrk)}|{cfg.dtype}|implicit"
@@ -339,10 +352,13 @@ def bench_large():
         "unit": "SNPs/s",
         "vs_baseline": round(rate / cpu_rate, 2),
         "eigh_seconds": round(eigh_secs, 2),
+        "eigh_seconds_cold": round(eigh_cold_secs, 2),
         "eigh_backend": "lowrank-implicit",
         "eigh_stages": eigh_stages,
+        "eigh_stages_cold": eigh_stages_cold,
         "scan_seconds": round(scan_secs, 2),
         "end_to_end_seconds": round(scan_secs + eigh_secs, 2),
+        "end_to_end_cold_seconds": round(scan_secs + eigh_cold_secs, 2),
         "warmup_seconds": round(warmup_secs, 2),
         "geno_gen_seconds": round(geno_gen_secs, 2),
         "compile_cache_entries_before": cache_before,
@@ -378,14 +394,14 @@ def _profile_block(X, W, y, basis, cfg, block, api_mod):
     gd = jax.device_put(g)
     mud = jax.device_put(mu)
     sdd = jax.device_put(sd)
-    gd.block_until_ready()
+    float(jnp.sum(gd[0].astype(jnp.int32)))  # force the transfer
     dt = time.time() - t0
     prof["transfer_s"] = round(dt, 3)
     prof["tunnel_mbps_measured"] = round(g.nbytes / 2**20 / dt, 1)
 
     t0 = time.time()
     xb = dequantize_packed_device(gd, mud, sdd, n=X.n, coding=X.coding)
-    xb.block_until_ready()
+    float(jnp.sum(xb[0]))
     prof["dequant_s"] = round(time.time() - t0, 3)
 
     from pygemma_tpu.core.eigen import rotate
@@ -397,7 +413,7 @@ def _profile_block(X, W, y, basis, cfg, block, api_mod):
     y_c = rotate(basis.U_top, jnp.asarray(y)[:, None])[:, 0]
     t0 = time.time()
     C_x, vS_raw, vv_raw = api_mod._implicit_prep(basis.U_top, shared_raw, xb)
-    C_x.block_until_ready()
+    float(jnp.sum(C_x[0]) + jnp.sum(vv_raw))
     prof["prep_s"] = round(time.time() - t0, 3)
 
     eps_arr = jnp.asarray(basis.eps, jnp.float32)
@@ -405,7 +421,7 @@ def _profile_block(X, W, y, basis, cfg, block, api_mod):
     stacked = api_mod._assoc_block_implicit_jit(
         basis.ev_top, W_c, y_c, C_x, cfg, None, False,
         eps_arr, S_raw, vS_raw, vv_raw, basis.n)
-    stacked.block_until_ready()
+    float(jnp.sum(stacked[0]))
     prof["assoc_s"] = round(time.time() - t0, 3)
     prof["sum_stages_s"] = round(sum(
         v for k, v in prof.items() if k.endswith("_s")), 3)

@@ -138,8 +138,11 @@ def _spectral_quantile(A, q, seed, k: int = 512):
 
     n = A.shape[0]
     k = min(k, n)
-    rng = np.random.default_rng(seed)
-    Om = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32))
+    # device-side Gaussians: a host-generated block would ship n*k floats
+    # through the tunnel (~35 MB here, but 600+ MB in _orthonormal_range --
+    # measured 47 s of a 131 s eigh before the switch)
+    Om = jax.random.normal(jax.random.PRNGKey(seed & 0x7FFFFFFF), (n, k),
+                           dtype=jnp.float32)
     H, B = _ritz_sketch(A, Om)
     Hh = np.asarray(H, np.float64)
     Bh = np.asarray(B, np.float64)
@@ -240,10 +243,11 @@ def _panel_qr(Y, panel: int = _PANEL):
     n, k = Y.shape
     pad = (-k) % panel
     if pad:
-        rng = np.random.default_rng(k)
         # random pad columns orthonormalize into harmless extra directions
+        # (device-side: no tunnel traffic)
         Y = jnp.concatenate(
-            [Y, jnp.asarray(rng.standard_normal((n, pad)).astype(Y.dtype))],
+            [Y, jax.random.normal(jax.random.PRNGKey(k), (n, pad),
+                                  dtype=Y.dtype)],
             axis=1)
     Qbuf = jnp.zeros_like(Y)
     for j in range(0, k + pad, panel):
@@ -261,10 +265,13 @@ def _ortho_cols(Y):
 def _orthonormal_range(P, k, seed, refine: int = 1):
     """Orthonormal (n, k) basis of the rank-k range of projector P via
     randomized range finding (subspace iteration sharpens the basis; one
-    refine pass suffices for a converged sign projector)."""
+    refine pass suffices for a converged sign projector).  The Gaussian
+    block is generated ON DEVICE: shipping a host-generated (n, k) block
+    costs n*k*4 bytes of tunnel traffic (638 MB at n=16,384, k=9,748 --
+    measured as the dominant term of the whole eigh before the switch)."""
     n = P.shape[0]
-    rng = np.random.default_rng(seed)
-    Om = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32))
+    Om = jax.random.normal(jax.random.PRNGKey(seed & 0x7FFFFFFF), (n, k),
+                           dtype=jnp.float32)
     Q = _ortho_cols(jnp.dot(P, Om, precision=_HI))
     for _ in range(refine):
         Q = _ortho_cols(jnp.dot(P, Q, precision=_HI))
@@ -399,6 +406,7 @@ def eigh_dc(
     min_side = max(32, int(0.4 * min(frac_target, 1 - frac_target) * n))
     r_lo = 0
     for attempt in range(4):
+        t_att = _t.time()
         key = jax.random.PRNGKey(seed * 1009 + 17 * _depth + attempt)
         # boost retry: a clustered spectrum can make the power-iteration
         # norm undershoot enough that the Newton-Schulz safety region
@@ -414,16 +422,37 @@ def eigh_dc(
             # boosted scale -- slows the contraction).  A degenerate block
             # (everything == sigma) never converges; its pseudo-projector
             # still splits the space, which is exact for an eigenspace.
+            # STALL DETECTION matters: with sigma inside a dense spectral
+            # bulk the unconverged mass is eigenvalues within ~1e-4 of
+            # sigma, which extra Newton-Schulz rounds cannot fix at a
+            # useful rate -- their leakage is tiny and the coupling check
+            # downstream guards correctness.  Rounds that stop improving
+            # the residual by >=1.5x are wasted 16,384-sized GEMMs
+            # (measured round 4: a stall-blind 10-round polish was a major
+            # part of a 753 s depth-0 sign that needs ~16 s).
+            n_polish = 0
+            prev_resid = np.inf
             for _ in range(10):
                 resid = float(_sign_residual(S))
                 if not np.isfinite(resid) or resid < 3e-2:
                     break
+                if resid > prev_resid / 1.5:
+                    break  # stalled: non-convergent near-sigma modes
+                prev_resid = resid
+                n_polish += 1
                 for _ in range(3):
                     S = _sign_step(S, jnp.float32(1.5), jnp.float32(-0.5),
                                    jnp.float32(0.0))
             if np.isfinite(float(_sign_residual(S))):
                 break
+            if verbose:
+                print(f"[eigh_dc] n={n} depth={_depth} attempt={attempt} "
+                      f"NaN at boost={boost} -> rescale", flush=True)
             boost *= 4.0
+        if verbose:
+            print(f"[eigh_dc] n={n} depth={_depth} attempt={attempt} "
+                  f"sigma={sigma:.4g} boost={boost} polish={n_polish} "
+                  f"{_t.time()-t_att:.1f}s", flush=True)
         P_lo, tr = _projector_rank(S)
         tr_f = float(tr)
         r_lo = int(np.clip(round(tr_f), 0, n)) if np.isfinite(tr_f) else 0
@@ -450,27 +479,51 @@ def eigh_dc(
         P_lo = 0.5 * jnp.eye(n, dtype=A.dtype)
 
     del S  # n^2 sign iterate: dead past the projector
-    V_lo = _orthonormal_range(P_lo, r_lo, seed=seed * 7919 + 13 + _depth)
+    t_sub = _t.time()
+    # range finding with a coupling-gated retry: a square Gaussian sample
+    # restricted to range(P) can draw ill-conditioned (cond grows ~rank for
+    # square Ginibre), which leaves junk directions one refine pass cannot
+    # purge -- observed as a 30x eigenvector-residual regression on one
+    # seed.  refine=2 (GEMM-cheap) plus fresh-seed retries on a tight
+    # coupling gate makes the split robust to the draw.
     P_hi = jnp.eye(n, dtype=A.dtype) - P_lo
-    del P_lo
-    V_hi = _orthonormal_range(P_hi, n - r_lo,
-                              seed=seed * 7919 + 101 + _depth)
-    del P_hi
-    # one Gram-Schmidt sweep of V_hi against V_lo keeps the combined basis
-    # orthonormal to f32 roundoff even when the projector leaked slightly
-    V_hi = _ortho_cols(_project_out(V_lo, V_hi))
-
-    # validation: the two bases must (nearly) decouple A, else the split
-    # was not invariant and results would be silently wrong
-    AV_lo = jnp.dot(A, V_lo, precision=_HI)
-    coupling = float(jnp.max(jnp.abs(jnp.dot(V_hi.T, AV_lo, precision=_HI))))
     scale = float(jnp.max(jnp.abs(A))) + 1e-30
+    coupling = np.inf
+    for rtry in range(3):
+        V_lo = _orthonormal_range(
+            P_lo, r_lo, seed=seed * 7919 + 13 + _depth + 1000 * rtry,
+            refine=2)
+        V_hi = _orthonormal_range(
+            P_hi, n - r_lo, seed=seed * 7919 + 101 + _depth + 1000 * rtry,
+            refine=2)
+        # one Gram-Schmidt sweep of V_hi against V_lo keeps the combined
+        # basis orthonormal to f32 roundoff even when the projector leaked
+        V_hi = _ortho_cols(_project_out(V_lo, V_hi))
+        # validation: the two bases must (nearly) decouple A, else the
+        # split was not invariant and results would be silently wrong
+        AV_lo = jnp.dot(A, V_lo, precision=_HI)
+        coupling = float(jnp.max(jnp.abs(
+            jnp.dot(V_hi.T, AV_lo, precision=_HI))))
+        if np.isfinite(coupling) and coupling <= 2e-3 * scale:
+            break
+        if verbose:
+            print(f"[eigh_dc] n={n} depth={_depth} retry range "
+                  f"(coupling {coupling:.2e})", flush=True)
+    del P_lo, P_hi
     if not np.isfinite(coupling) or coupling > 2e-2 * scale:
         raise RuntimeError(
             f"eigh_dc: subspace split left coupling {coupling:.2e} "
             f"(scale {scale:.2e}); falling back to a dense eigh is required")
+    if verbose:
+        print(f"[eigh_dc] n={n} depth={_depth} ranges+coupling "
+              f"{coupling:.2e} {_t.time()-t_sub:.1f}s", flush=True)
+        t_sub = _t.time()
     A_lo = jnp.dot(V_lo.T, AV_lo, precision=_HI)
     A_hi = _rayleigh_block(A, V_hi)
+    if verbose:
+        float(jnp.sum(A_lo[0]) + jnp.sum(A_hi[0]))
+        print(f"[eigh_dc] n={n} depth={_depth} rayleigh "
+              f"{_t.time()-t_sub:.1f}s", flush=True)
     # every n^2 buffer that is dead across the recursion must be freed NOW:
     # recursion frames stack, and the leaf's built-in eigh alone needs
     # ~30 m^2 floats of HBM scratch (OOM observed at n=16,384 without this)

@@ -162,6 +162,10 @@ def _top_space(lrk: LowRankKinship, backend: str, block: int,
 
     ``timings`` (optional dict) receives per-stage wall seconds -- with
     device syncs at the stage boundaries, so only pass it when profiling.
+    Syncs are scalar PULLS, not ``block_until_ready``: on tunneled
+    backends the latter returns before remote execution finishes, so the
+    stage cost would otherwise be billed to whichever later stage pulls
+    first (measured round 4: a 400 s Gram reported as 2.8 s).
     """
     import time as _t
 
@@ -170,14 +174,14 @@ def _top_space(lrk: LowRankKinship, backend: str, block: int,
     t0 = _t.time()
     A, Gc_dev = _stream_gram(lrk, block)
     if timings is not None:
-        A.block_until_ready()
+        float(jnp.sum(A))  # data-dependent pull = real sync
         timings["stream_gram_s"] = round(_t.time() - t0, 3)
         t0 = _t.time()
     a, V = auto_eigendecompose(A, backend=backend, dtype=np.float32)
     a = jnp.maximum(jnp.asarray(a), 0.0)
     V = jnp.asarray(V)
     if timings is not None:
-        a.block_until_ready()
+        float(jnp.sum(a) + jnp.sum(V[0]))
         timings["gram_eigh_s"] = round(_t.time() - t0, 3)
         t0 = _t.time()
     rank_tol = float(rank_rtol) * float(jnp.max(a))
@@ -185,7 +189,7 @@ def _top_space(lrk: LowRankKinship, backend: str, block: int,
     n_null = int(jnp.sum(~a_ok))
     ev_top = jnp.where(a_ok, a, 0.0) + jnp.float32(lrk.eps)
     if timings is not None:
-        U_top.block_until_ready()
+        float(jnp.sum(U_top[0]))
         timings["top_basis_s"] = round(_t.time() - t0, 3)
     return ev_top, U_top, a, a_ok, n_null
 
@@ -232,10 +236,12 @@ def lowrank_eigendecompose(
 
     _, U_top, a, a_ok, n_null = _top_space(lrk, backend, block, rank_rtol)
 
-    # 4) complement basis: n - pk dims (+ any rank-deficient Gram dims)
+    # 4) complement basis: n - pk dims (+ any rank-deficient Gram dims).
+    # Device-side Gaussians: a host block would ship n * n_comp floats
+    # through the tunnel (~290 MB at the bench shape).
     n_comp = n - pk + n_null
-    rng = np.random.default_rng(seed)
-    Z = jnp.asarray(rng.standard_normal((n, n_comp)).astype(np.float32))
+    Z = jax.random.normal(jax.random.PRNGKey(seed), (n, n_comp),
+                          dtype=jnp.float32)
     # zeroed rank-deficient columns of U_top are harmless in the projector
     Q_c = _complement_qr(U_top, Z)
 

@@ -422,6 +422,12 @@ def test_run_grid_rivals_mode(tmp_path, monkeypatch):
 
     monkeypatch.delenv("GCTA", raising=False)
     out = str(tmp_path / "rivals.csv")
+    # PYGEMMA_BENCH_CPU pins the subprocess to the CPU backend (the axon
+    # sitecustomize rewrites JAX_PLATFORMS at startup, so run_grid re-pins
+    # via the config API); the stripped PATH hides any rival binaries.
+    # Round-3 shipped regression: this env dict was built but NEVER PASSED
+    # to sp.run, so the child ran the grid over the TPU tunnel with cold
+    # remote compiles and blew the 600 s timeout.
     env = dict(os.environ, PATH="/usr/bin:/bin",
                JAX_PLATFORMS="", PYGEMMA_BENCH_CPU="1")
     env.pop("GCTA", None); env.pop("GEMMA", None); env.pop("REGENIE", None)
@@ -429,7 +435,7 @@ def test_run_grid_rivals_mode(tmp_path, monkeypatch):
     r = sp.run([sys.executable, os.path.join(repo, "benchmarks/run_grid.py"),
                 "--out", out, "--samples", "60", "--snps", "24",
                 "--covars", "2", "--reps", "1", "--no-cpu", "--rivals"],
-               capture_output=True, text=True, timeout=600)
+               capture_output=True, text=True, timeout=540, env=env)
     assert r.returncode == 0, r.stderr[-2000:]
     import pandas as pd
     df = pd.read_csv(out)
