@@ -112,12 +112,19 @@ def _rotated_repr_from_implicit(basis, W, y, X_sub):
     coordinates.  All pairwise H^-k-weighted inner products -- the only
     thing REML consumes -- are bit-equal to a true rotation.
     """
+    import jax
+    import jax.numpy as jnp
+
     n = basis.n
-    U_top = np.asarray(basis.U_top, np.float64)
-    pk = U_top.shape[1]
-    T = np.c_[W, y, X_sub].astype(np.float64)
+    pk = basis.U_top.shape[1]
+    T = np.c_[W, y, X_sub].astype(np.float32)
     t = T.shape[1]
-    C = U_top.T @ T  # (pk, t)
+    # project on DEVICE: pulling U_top host-side would move n*p_k floats
+    # through the tunnel (3.3 GB at n=50k)
+    C = np.asarray(jnp.dot(basis.U_top.T, jnp.asarray(T),
+                           precision=jax.lax.Precision.HIGHEST),
+                   np.float64)  # (pk, t)
+    T = T.astype(np.float64)
     R = T.T @ T - C.T @ C
     E, Vr = np.linalg.eigh((R + R.T) / 2)
     L = Vr * np.sqrt(np.maximum(E, 0.0))[None, :]  # R = L L'

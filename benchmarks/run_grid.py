@@ -42,13 +42,20 @@ def _time_rival(fn, *args, **kw):
         return np.nan, "error"
 
 
-def run_config(n, p, c, rep, include_cpu=True, cpu_snps=32, rivals=False):
+def run_config(n, p, c, rep, include_cpu=True, cpu_snps=32, rivals=False,
+               warmup=False):
     from baselines.cpu_pygemma import run_gwas as cpu_run
     from pygemma_tpu import GwasConfig, pygemma
     from pygemma_tpu.sim import simulate_gwas
 
     d = simulate_gwas(n=n, p=p, c=max(c, 1), seed=1000 * rep + n + p + c)
     W = d.W if c > 0 else None
+
+    if warmup:
+        # absorb per-shape XLA compiles + first-materialization tunnel
+        # costs so the timed call measures steady-state throughput (the
+        # reference's timing likewise excludes Python import/JIT overheads)
+        pygemma(d.Y, d.X, W, d.K, config=GwasConfig())
 
     t0 = time.time()
     df = pygemma(d.Y, d.X, W, d.K, config=GwasConfig())
@@ -113,6 +120,9 @@ def main():
     ap.add_argument("--rivals", action="store_true",
                     help="also time GEMMA/GCTA/fastGWA/Regenie when their "
                          "binaries exist (NaN + status column otherwise)")
+    ap.add_argument("--warmup", action="store_true",
+                    help="run each config once untimed first (excludes "
+                         "XLA compile + tunnel first-call costs)")
     args = ap.parse_args()
 
     grid = list(itertools.product(
@@ -130,7 +140,7 @@ def main():
     for n, p, c, rep in grid:
         try:
             row = run_config(n, p, c, rep, include_cpu=not args.no_cpu,
-                             rivals=args.rivals)
+                             rivals=args.rivals, warmup=args.warmup)
         except Exception as e:  # NaN row, run continues (reference
             # benchmarks.py:281-343 wraps rivals the same way)
             print(f"config ({n},{p},{c},{rep}) failed: {e}", file=sys.stderr)

@@ -173,6 +173,14 @@ def _top_space(lrk: LowRankKinship, backend: str, block: int,
 
     t0 = _t.time()
     A, Gc_dev = _stream_gram(lrk, block)
+    # at large n the (n, p_k) float32 G cannot sit in HBM next to the
+    # Gram eigh's scratch (~30 * 8192^2 floats at the leaves): drop it and
+    # re-stream AFTER the eigh -- the packed codes are 16x smaller over
+    # the tunnel and the rebuild is deterministic (OOM observed at n=50k)
+    respool = lrk.n * lrk.pk * 4 > (1 << 31)
+    if respool:
+        float(jnp.sum(A))  # make sure A exists before freeing its input
+        del Gc_dev
     if timings is not None:
         float(jnp.sum(A))  # data-dependent pull = real sync
         timings["stream_gram_s"] = round(_t.time() - t0, 3)
@@ -180,10 +188,13 @@ def _top_space(lrk: LowRankKinship, backend: str, block: int,
     a, V = auto_eigendecompose(A, backend=backend, dtype=np.float32)
     a = jnp.maximum(jnp.asarray(a), 0.0)
     V = jnp.asarray(V)
+    del A
     if timings is not None:
         float(jnp.sum(a) + jnp.sum(V[0]))
         timings["gram_eigh_s"] = round(_t.time() - t0, 3)
         t0 = _t.time()
+    if respool:
+        _, Gc_dev = _stream_gram(lrk, block)
     rank_tol = float(rank_rtol) * float(jnp.max(a))
     U_top, a_ok = _top_basis(Gc_dev, V, a, lrk.scale, rank_tol)
     n_null = int(jnp.sum(~a_ok))
