@@ -310,13 +310,14 @@ def bench_large():
     except Exception as e:
         log(f"block profile failed: {type(e).__name__}: {e}")
 
-    # --- tunnel accounting: 2-bit codes + per-column affine sidecars
+    # --- tunnel accounting: 2-bit codes + per-column affine sidecars.
+    # effective = sustained rate the overlapped scan achieved; measured =
+    # median one-shot put.  effective > measured just means the pipelined
+    # transfers overlap better than a synchronous put.
     n4 = (n + 3) // 4
     n_blocks = (p + block - 1) // block
     tunnel_bytes = n_blocks * block * n4 + p * 8  # padded blocks + mu/sd
-    bw = prof.get("tunnel_mbps_measured")
-    tunnel_util = (
-        round((tunnel_bytes / 2**20 / scan_secs) / bw, 3) if bw else None)
+    tunnel_effective = round(tunnel_bytes / 2**20 / scan_secs, 1)
 
     # --- MFU floor from the static flop model
     flops = _flops_model_scan(n, k_snps, block, c, n_blocks, cfg)
@@ -371,7 +372,7 @@ def bench_large():
         "compile_cache_entries_before": cache_before,
         "block_profile": prof,
         "tunnel_bytes": int(tunnel_bytes),
-        "tunnel_util": tunnel_util,
+        "tunnel_effective_mbps": tunnel_effective,
         "flops_model_tf": round(flops / 1e12, 1),
         "achieved_tflops_lower_bound": round(achieved / 1e12, 2),
         "mfu_lower_bound": round(achieved / peak, 4),
@@ -397,12 +398,16 @@ def _profile_block(X, W, y, basis, cfg, block, api_mod):
     g, mu, sd = X.quant_block(s0, s0 + block)
     prof["host_slice_s"] = round(time.time() - t0, 3)
 
-    t0 = time.time()
-    gd = jax.device_put(g)
-    mud = jax.device_put(mu)
-    sdd = jax.device_put(sd)
-    float(jnp.sum(gd[0].astype(jnp.int32)))  # force the transfer
-    dt = time.time() - t0
+    # 3 timed puts, keep the median: single-shot tunnel timings vary 2-5x
+    dts = []
+    for _ in range(3):
+        t0 = time.time()
+        gd = jax.device_put(g)
+        mud = jax.device_put(mu)
+        sdd = jax.device_put(sd)
+        float(jnp.sum(gd[0].astype(jnp.int32)))  # force the transfer
+        dts.append(time.time() - t0)
+    dt = sorted(dts)[1]
     prof["transfer_s"] = round(dt, 3)
     prof["tunnel_mbps_measured"] = round(g.nbytes / 2**20 / dt, 1)
 
