@@ -476,9 +476,9 @@ def pygemma(
     # Batched multi-phenotype scan: one vmapped executable for all
     # phenotypes (eQTL-style workloads; reference runs a SLURM array per
     # gene instead, experiments/1000G/run_pyGEMMA.sh:43-52).
-    if n_pheno >= 3 and mesh is None and ckpt is None and impl is None:
+    if n_pheno >= 3 and mesh is None and ckpt is None:
         frames = _scan_phenos_batched(
-            X, Y_dev, W_dev, ev_dev, U_dev, cfg, de, n, p, log
+            X, Y_dev, W_dev, ev_dev, U_dev, cfg, de, n, p, log, impl
         )
     else:
         frames = _scan_phenos_looped(
@@ -676,8 +676,56 @@ def _fit_null_multi_jit(ev, W, Y_kn, cfg):
     return assoc_mod.fit_null_multi(ev, W, Y_kn, cfg)
 
 
-def _scan_phenos_batched(X, Y_dev, W_dev, ev_dev, U_dev, cfg, de, n, p, log):
-    """All phenotypes per block in one vmapped executable (k, B)."""
+@jax.jit
+def _implicit_multi_once(W_raw, Y_raw):
+    """Phenotype-factored raw Gram pieces shared by the whole scan."""
+    WtW = pdot(W_raw.T, W_raw)
+    WtY = pdot(W_raw.T, Y_raw)
+    YtY = jnp.sum(Y_raw * Y_raw, axis=0)
+    return WtW, WtY, YtY
+
+
+@jax.jit
+def _implicit_multi_prep(U_top, W_raw, Y_raw, xb):
+    """Per-block top-space rotation + factored raw terms (multi-pheno)."""
+    C_x = pdot(U_top.T, xb)
+    XtW = pdot(xb.T, W_raw)
+    XtY = pdot(xb.T, Y_raw)
+    vv = jnp.sum(xb * xb, axis=0)
+    return C_x, XtW, XtY, vv
+
+
+@partial(jax.jit, static_argnames=("cfg", "de", "with_null", "n_total"))
+def _assoc_multi_implicit_jit(ev, W_c, Y_kn, C_x, cfg, null_stack, de,
+                              with_null, eps, WtW, WtY, YtY, XtW, XtY, vv,
+                              n_total):
+    m = assoc_mod.ImplicitMultiCtx(eps, n_total, WtW, WtY, YtY, XtW, XtY,
+                                   vv)
+    res = assoc_mod.assoc_block_multi(
+        ev, W_c, Y_kn, C_x, cfg,
+        null_stack=null_stack if with_null else None, de=de,
+        implicit_multi=m,
+    )
+    return jnp.stack([res[k] for k in _result_keys(cfg)])
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_total"))
+def _fit_null_multi_implicit_jit(ev, W_c, Y_kn, cfg, eps, WtW, WtY, YtY,
+                                 n_total):
+    B1 = jnp.zeros((1, WtW.shape[0]), WtW.dtype)  # X terms unused in null
+    m = assoc_mod.ImplicitMultiCtx(eps, n_total, WtW, WtY, YtY, B1,
+                                   jnp.zeros((1, WtY.shape[1]), WtW.dtype),
+                                   jnp.zeros((1,), WtW.dtype))
+    return assoc_mod.fit_null_multi(ev, W_c, Y_kn, cfg, implicit_multi=m)
+
+
+def _scan_phenos_batched(X, Y_dev, W_dev, ev_dev, U_dev, cfg, de, n, p, log,
+                         impl=None):
+    """All phenotypes per block in one vmapped executable (k, B).
+
+    With ``impl`` (implicit low-rank kinship) the genotypes stream ONCE for
+    all phenotypes -- the per-phenotype raw Gram terms factor into shared
+    W-blocks plus one cross column each (assoc.ImplicitMultiCtx)."""
     n_pheno = Y_dev.shape[1]
     c = W_dev.shape[1]
     if (n_pheno <= assoc_mod._MULTI_UNROLL
@@ -688,13 +736,24 @@ def _scan_phenos_batched(X, Y_dev, W_dev, ev_dev, U_dev, cfg, de, n, p, log):
     else:
         # shrink the block so the (k, B, n) weight temporaries stay bounded
         B = max(128, min(cfg.snp_block, max(p, 1)) // n_pheno)
-    Y_kn = jnp.asarray(Y_dev).T  # (k, n)
+    Y_kn = jnp.asarray(Y_dev).T  # (k, n) or (k, p_k) in the implicit case
+
+    eps_arr = WtW = WtY = YtY = None
+    if impl is not None:
+        WtW, WtY, YtY = _implicit_multi_once(impl.W_raw, impl.Y_raw)
+        eps_arr = jnp.asarray(impl.eps, WtW.dtype)
 
     with_null = ("lrt" in cfg.tests) or ("score" in cfg.tests)
     null_stack = None
     if with_null:
         with log.stage(f"null-model fits ({n_pheno} phenotypes)"):
-            null_stack = _fit_null_multi_jit(ev_dev, W_dev, Y_kn, cfg)
+            if impl is not None:
+                null_stack = _fit_null_multi_implicit_jit(
+                    ev_dev, W_dev, Y_kn, cfg, eps_arr, WtW, WtY, YtY,
+                    impl.n_total,
+                )
+            else:
+                null_stack = _fit_null_multi_jit(ev_dev, W_dev, Y_kn, cfg)
 
     keys = _result_keys(cfg)
     cols = {k: [] for k in keys}
@@ -706,11 +765,22 @@ def _scan_phenos_batched(X, Y_dev, W_dev, ev_dev, U_dev, cfg, de, n, p, log):
 
         pending = []  # dispatch-only loop; pull everything afterwards
         for start, stop, xb_dev in SnpBlockStreamer(X, B, dtype=X.dtype):
-            if U_dev is not None:
-                xb_dev = rotate(jnp.asarray(U_dev), xb_dev)
-            stacked = _assoc_multi_jit(
-                ev_dev, W_dev, Y_kn, xb_dev, cfg, null_stack, de, with_null
-            )
+            if impl is not None:
+                C_x, XtW, XtY, vv = _implicit_multi_prep(
+                    impl.U_top, impl.W_raw, impl.Y_raw, xb_dev
+                )
+                stacked = _assoc_multi_implicit_jit(
+                    ev_dev, W_dev, Y_kn, C_x, cfg, null_stack, de,
+                    with_null, eps_arr, WtW, WtY, YtY, XtW, XtY, vv,
+                    impl.n_total,
+                )
+            else:
+                if U_dev is not None:
+                    xb_dev = rotate(jnp.asarray(U_dev), xb_dev)
+                stacked = _assoc_multi_jit(
+                    ev_dev, W_dev, Y_kn, xb_dev, cfg, null_stack, de,
+                    with_null
+                )
             pending.append((stop - start, stacked))
         for m, stacked in pending:
             host = np.asarray(stacked)  # (n_keys, k, B)

@@ -68,6 +68,39 @@ class ImplicitCtx(NamedTuple):
     vv_raw: jnp.ndarray  # (B,)
 
 
+class ImplicitMultiCtx(NamedTuple):
+    """Implicit low-rank context shared by a multi-phenotype block.
+
+    The raw Gram pieces factor over phenotypes -- W-blocks are shared and
+    only the y column varies -- so the batched scan carries them split and
+    assembles a per-phenotype :class:`ImplicitCtx` at trace time.
+    """
+
+    eps: jnp.ndarray  # ()
+    n_total: int  # static
+    WtW: jnp.ndarray  # (c, c) raw covariate Gram
+    WtY: jnp.ndarray  # (c, k) raw covariate x phenotype cross terms
+    YtY: jnp.ndarray  # (k,)   raw phenotype self terms
+    XtW: jnp.ndarray  # (B, c) raw genotype x covariate cross terms
+    XtY: jnp.ndarray  # (B, k) raw genotype x phenotype cross terms
+    vv: jnp.ndarray  # (B,)   raw genotype self terms
+
+
+def _implicit_for_pheno(m: ImplicitMultiCtx, wty, yty, xty) -> ImplicitCtx:
+    """Assemble one phenotype's ImplicitCtx from the factored raw terms.
+
+    wty: (c,) raw W'y; yty: () raw y'y; xty: (B,) raw X'y.
+    """
+    c = m.WtW.shape[0]
+    S_raw = jnp.zeros((c + 1, c + 1), m.WtW.dtype)
+    S_raw = S_raw.at[:c, :c].set(m.WtW)
+    S_raw = S_raw.at[:c, c].set(wty)
+    S_raw = S_raw.at[c, :c].set(wty)
+    S_raw = S_raw.at[c, c].set(yty)
+    vS_raw = jnp.concatenate([m.XtW, xty[:, None]], axis=1)
+    return ImplicitCtx(m.eps, m.n_total, S_raw, vS_raw, m.vv)
+
+
 def _implicit_complement(implicit: ImplicitCtx, shared_c: jnp.ndarray,
                          C_x: jnp.ndarray) -> GramComplement:
     """Residual Grams R = T'T - C'C over columns [shared | x].
@@ -261,6 +294,7 @@ def assoc_block_multi(
     cfg: GwasConfig,
     null_stack: Optional[jnp.ndarray] = None,  # (k, 3) stacked NullFit rows
     de: bool = False,
+    implicit_multi: Optional[ImplicitMultiCtx] = None,
 ):
     """Vectorize the association block over phenotypes.
 
@@ -274,6 +308,13 @@ def assoc_block_multi(
     HBM.  Returns a dict of (k, B) arrays.
     """
     k_pheno = Y_kn.shape[0]
+
+    def ictx_for(g_or_cols):
+        if implicit_multi is None:
+            return None
+        wty, yty, xty = g_or_cols
+        return _implicit_for_pheno(implicit_multi, wty, yty, xty)
+
     if k_pheno <= _MULTI_UNROLL and _use_fused(cfg, X.dtype):
         outs = []
         for g in range(k_pheno):
@@ -282,7 +323,12 @@ def assoc_block_multi(
                 null = NullFit(
                     null_stack[g, 0], null_stack[g, 1], null_stack[g, 2]
                 )
-            res = assoc_block(ev, W, Y_kn[g], X, cfg, null=null, de=de)
+            ictx = None
+            if implicit_multi is not None:
+                m = implicit_multi
+                ictx = ictx_for((m.WtY[:, g], m.YtY[g], m.XtY[:, g]))
+            res = assoc_block(ev, W, Y_kn[g], X, cfg, null=null, de=de,
+                              implicit=ictx)
             outs.append(
                 {k: v for k, v in res._asdict().items() if v is not None}
             )
@@ -291,6 +337,27 @@ def assoc_block_multi(
         }
 
     cfg_v = cfg.replace(use_fused_kernel=False)
+
+    if implicit_multi is not None:
+        m = implicit_multi
+
+        if null_stack is not None:
+            def one_i(y, null_row, wty, yty, xty):
+                null = NullFit(null_row[0], null_row[1], null_row[2])
+                res = assoc_block(ev, W, y, X, cfg_v, null=null, de=de,
+                                  implicit=ictx_for((wty, yty, xty)))
+                return {k: v for k, v in res._asdict().items()
+                        if v is not None}
+
+            return jax.vmap(one_i)(Y_kn, null_stack, m.WtY.T, m.YtY,
+                                   m.XtY.T)
+
+        def one_i(y, wty, yty, xty):
+            res = assoc_block(ev, W, y, X, cfg_v, de=de,
+                              implicit=ictx_for((wty, yty, xty)))
+            return {k: v for k, v in res._asdict().items() if v is not None}
+
+        return jax.vmap(one_i)(Y_kn, m.WtY.T, m.YtY, m.XtY.T)
 
     if null_stack is not None:
         def one(y, null_row):
@@ -307,8 +374,29 @@ def assoc_block_multi(
     return jax.vmap(one)(Y_kn)
 
 
-def fit_null_multi(ev, W, Y_kn, cfg: GwasConfig) -> jnp.ndarray:
+def fit_null_multi(ev, W, Y_kn, cfg: GwasConfig,
+                   implicit_multi: Optional[ImplicitMultiCtx] = None
+                   ) -> jnp.ndarray:
     """vmap of :func:`fit_null` over phenotypes -> (k, 3) stacked rows."""
+    if implicit_multi is not None:
+        m = implicit_multi
+        c = m.WtW.shape[0]
+
+        def one_i(y, wty, yty):
+            S_raw = jnp.zeros((c + 1, c + 1), m.WtW.dtype)
+            S_raw = S_raw.at[:c, :c].set(m.WtW)
+            S_raw = S_raw.at[:c, c].set(wty)
+            S_raw = S_raw.at[c, :c].set(wty)
+            S_raw = S_raw.at[c, c].set(yty)
+            # per-SNP residual fields are unused by the null fit
+            ictx = ImplicitCtx(m.eps, m.n_total, S_raw,
+                               jnp.zeros((1, c + 1), S_raw.dtype),
+                               jnp.zeros((1,), S_raw.dtype))
+            nf = fit_null(ev, W, y, cfg, implicit=ictx)
+            return jnp.stack([nf.lambda_reml, nf.lambda_ml, nf.loglik_ml])
+
+        return jax.vmap(one_i)(Y_kn, m.WtY.T, m.YtY)
+
     def one(y):
         nf = fit_null(ev, W, y, cfg)
         return jnp.stack([nf.lambda_reml, nf.lambda_ml, nf.loglik_ml])

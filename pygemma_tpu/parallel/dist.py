@@ -20,9 +20,6 @@ Replaces the reference's two scale-out seams with in-program SPMD:
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -31,7 +28,7 @@ from ..config import GwasConfig
 from ..core.assoc import ImplicitCtx, NullFit, assoc_block
 from ..core.eigen import eigendecompose
 
-from .mesh import replicated, result_sharding, snp_sharding
+from .mesh import replicated, snp_sharding
 
 
 def sharded_assoc_fn(mesh: Mesh, cfg: GwasConfig, de: bool = False,

@@ -277,3 +277,27 @@ def test_fused_kernel_with_complement(rng):
                                np.asarray(s_fu.sum_d), rtol=1e-4)
     np.testing.assert_allclose(np.asarray(s_ref.sum_logh),
                                np.asarray(s_fu.sum_logh), rtol=1e-4)
+
+
+def test_driver_implicit_multipheno_lrt_score(rng):
+    """>=3 phenotypes + LRT/score route through the batched implicit scan
+    (factored raw Grams; genotypes stream once for all phenotypes) and
+    match the explicit full-basis path."""
+    lrk, G, W, y, X = _case(rng, p=30)
+    rng2 = np.random.default_rng(11)
+    Y3 = np.stack([
+        y,
+        (0.5 * y + rng2.standard_normal(lrk.n)).astype(np.float32),
+        rng2.standard_normal(lrk.n).astype(np.float32),
+    ], axis=1)
+    cfg = GwasConfig(snp_block=16, tests=("wald", "lrt", "score"))
+    df_i = pygemma(Y3, X, W, lrk, config=cfg)
+    df_e = pygemma(Y3, X, W, lrk, config=cfg.replace(lowrank_implicit=False))
+    np.testing.assert_allclose(df_i["beta"], df_e["beta"], rtol=2e-3,
+                               atol=1e-5)
+    for col in ("p_wald", "p_lrt", "p_score"):
+        lg_i = -np.log10(np.maximum(np.asarray(df_i[col], np.float64),
+                                    1e-300))
+        lg_e = -np.log10(np.maximum(np.asarray(df_e[col], np.float64),
+                                    1e-300))
+        assert np.abs(lg_i - lg_e).max() < 0.1, col
