@@ -342,13 +342,17 @@ def _back_transform(V, Usub):
 def _eigh_small(A) -> Tuple[jnp.ndarray, jnp.ndarray]:
     r = A.shape[0]
     if r <= DIRECT_EIGH_MAX:
-        # power-of-two buckets: a cold compile of the built-in eigh costs
+        # bounded bucket set: a cold compile of the built-in eigh costs
         # ~minutes on the remote compile service (8,192 measured at 311 s,
-        # then 0.6 s warm from the persistent cache), so keep the set of
-        # distinct executables tiny ({1024, 2048, 4096, 8192})
-        m = _BUCKET
-        while m < r:
-            m *= 2
+        # then ~1 s warm from the persistent cache), so the set of distinct
+        # executables stays small -- but eigh cost is cubic in the bucket,
+        # so above 4,096 the granularity drops to 2,048 steps
+        # ({1024, 2048, 4096, 6144, 8192}): a ~4,800 split half no longer
+        # pays the full 8,192 leaf (measured ~5x flops waste)
+        if r <= 2048:
+            m = 1024 if r <= 1024 else 2048
+        else:
+            m = ((r + 2047) // 2048) * 2048
         m = min(m, DIRECT_EIGH_MAX)
     else:
         m = r
