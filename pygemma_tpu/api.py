@@ -46,7 +46,14 @@ _EIGEN_DEV_CACHE: dict = {}
 def _enable_compile_cache() -> None:
     """Persist XLA compilations across processes: the eigh/assoc graphs are
     expensive to compile (remote-compile TPU backends especially) but fully
-    shape-cacheable."""
+    shape-cacheable.
+
+    CPU backends are excluded: their compiles are cheap, and XLA:CPU AOT
+    cache entries embed the compiling machine's CPU features -- on
+    migrating VMs a feature-mismatched entry SIGSEGVs at load (observed:
+    the test suite segfaulted inside compilation_cache.get_executable
+    loading an entry with '+prefer-no-gather' the current host lacks).
+    """
     global _CACHE_SET
     if _CACHE_SET:
         return
@@ -54,6 +61,8 @@ def _enable_compile_cache() -> None:
     import os
 
     try:
+        if jax.default_backend() == "cpu":
+            return
         cache_dir = os.environ.get(
             "PYGEMMA_TPU_COMPILE_CACHE",
             os.path.join(os.path.expanduser("~"), ".cache", "pygemma_tpu_xla"),

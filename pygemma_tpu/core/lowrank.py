@@ -153,7 +153,8 @@ def _stream_gram(lrk: LowRankKinship, block: int):
 
 
 def _top_space(lrk: LowRankKinship, backend: str, block: int,
-               rank_rtol: float, timings: Optional[dict] = None):
+               rank_rtol: float, timings: Optional[dict] = None,
+               respool_bytes: int = 1 << 31):
     """(ev_top, U_top, n_null): the exact top eigenspace of K.
 
     ev_top holds a_i + eps for kept Gram directions and exactly eps for
@@ -177,7 +178,7 @@ def _top_space(lrk: LowRankKinship, backend: str, block: int,
     # Gram eigh's scratch (~30 * 8192^2 floats at the leaves): drop it and
     # re-stream AFTER the eigh -- the packed codes are 16x smaller over
     # the tunnel and the rebuild is deterministic (OOM observed at n=50k)
-    respool = lrk.n * lrk.pk * 4 > (1 << 31)
+    respool = lrk.n * lrk.pk * 4 > respool_bytes
     if respool:
         float(jnp.sum(A))  # make sure A exists before freeing its input
         del Gc_dev
@@ -211,6 +212,7 @@ def lowrank_top_basis(
     block: int = 8192,
     rank_rtol: float = 1e-6,
     timings: Optional[dict] = None,
+    respool_bytes: int = 1 << 31,
 ) -> ImplicitBasis:
     """Implicit eigendecomposition: top space only, no complement basis.
 
@@ -221,7 +223,7 @@ def lowrank_top_basis(
     at ANY n without ever materializing an n x n object.
     """
     ev_top, U_top, _, _, _ = _top_space(lrk, backend, block, rank_rtol,
-                                        timings)
+                                        timings, respool_bytes)
     return ImplicitBasis(jnp.maximum(ev_top, 0.0), U_top,
                          float(lrk.eps), lrk.n)
 

@@ -279,10 +279,37 @@ def test_fused_kernel_with_complement(rng):
                                np.asarray(s_fu.sum_logh), rtol=1e-4)
 
 
-def test_driver_implicit_multipheno_lrt_score(rng):
+_MULTIPHENO_CHILD = """
+import sys, numpy as np, jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+sys.path.insert(0, sys.argv[3])
+from pygemma_tpu import GwasConfig, LowRankKinship, pygemma
+
+d = np.load(sys.argv[1])
+lrk = LowRankKinship(d["G"], eps=1e-3)
+cfg = GwasConfig(snp_block=16, tests=("wald", "lrt", "score"))
+df_i = pygemma(d["Y3"], d["X"], d["W"], lrk, config=cfg)
+df_e = pygemma(d["Y3"], d["X"], d["W"], lrk,
+               config=cfg.replace(lowrank_implicit=False))
+cols = ("beta", "p_wald", "p_lrt", "p_score")
+np.savez(sys.argv[2], **{f"i_{c}": df_i[c].to_numpy() for c in cols},
+         **{f"e_{c}": df_e[c].to_numpy() for c in cols})
+"""
+
+
+def test_driver_implicit_multipheno_lrt_score(rng, tmp_path):
     """>=3 phenotypes + LRT/score route through the batched implicit scan
     (factored raw Grams; genotypes stream once for all phenotypes) and
-    match the explicit full-basis path."""
+    match the explicit full-basis path.
+
+    Runs in a SUBPROCESS: compiling this vmapped multi-phenotype graph
+    in-process leaves XLA:CPU's compiler in a state that segfaults a later
+    unrelated compile (reproduced twice at the same suite position,
+    vanishes when this test is deselected) -- an upstream jaxlib issue the
+    isolation sidesteps without losing the coverage."""
+    import subprocess as sp
+
     lrk, G, W, y, X = _case(rng, p=30)
     rng2 = np.random.default_rng(11)
     Y3 = np.stack([
@@ -290,14 +317,32 @@ def test_driver_implicit_multipheno_lrt_score(rng):
         (0.5 * y + rng2.standard_normal(lrk.n)).astype(np.float32),
         rng2.standard_normal(lrk.n).astype(np.float32),
     ], axis=1)
-    cfg = GwasConfig(snp_block=16, tests=("wald", "lrt", "score"))
-    df_i = pygemma(Y3, X, W, lrk, config=cfg)
-    df_e = pygemma(Y3, X, W, lrk, config=cfg.replace(lowrank_implicit=False))
-    np.testing.assert_allclose(df_i["beta"], df_e["beta"], rtol=2e-3,
+    inp = str(tmp_path / "in.npz")
+    outp = str(tmp_path / "out.npz")
+    np.savez(inp, G=G, W=W, X=X, Y3=Y3)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = sp.run([sys.executable, "-c", _MULTIPHENO_CHILD, inp, outp, repo],
+               capture_output=True, text=True, timeout=540)
+    assert r.returncode == 0, r.stderr[-2000:]
+    d = np.load(outp)
+    np.testing.assert_allclose(d["i_beta"], d["e_beta"], rtol=2e-3,
                                atol=1e-5)
     for col in ("p_wald", "p_lrt", "p_score"):
-        lg_i = -np.log10(np.maximum(np.asarray(df_i[col], np.float64),
+        lg_i = -np.log10(np.maximum(d[f"i_{col}"].astype(np.float64),
                                     1e-300))
-        lg_e = -np.log10(np.maximum(np.asarray(df_e[col], np.float64),
+        lg_e = -np.log10(np.maximum(d[f"e_{col}"].astype(np.float64),
                                     1e-300))
         assert np.abs(lg_i - lg_e).max() < 0.1, col
+
+
+def test_top_basis_respool_matches_resident(rng):
+    """At large n the (n, p_k) float32 G is dropped before the Gram eigh
+    and re-streamed after (HBM headroom at n=50k); forcing that path at
+    test scale must give the identical basis."""
+    lrk, G, W, y, X = _case(rng, n=120, pk=32)
+    b_res = lowrank_top_basis(lrk)
+    b_rsp = lowrank_top_basis(lrk, respool_bytes=0)  # force the re-stream
+    np.testing.assert_allclose(np.asarray(b_rsp.ev_top),
+                               np.asarray(b_res.ev_top), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(b_rsp.U_top),
+                               np.asarray(b_res.U_top), rtol=0, atol=0)
