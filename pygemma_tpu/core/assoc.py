@@ -235,7 +235,13 @@ def assoc_block(
     yPxy = jnp.maximum(alt.yPy, MIN_VAL)
 
     df = float(n - c - 1)
-    beta = xPy / xPx
+    # Degenerate predictors (x collinear with W, e.g. a constant SNP) have
+    # x'P_c x == 0 up to roundoff -- possibly EXACTLY zero or negative on
+    # the implicit path, where beta = xPy/xPx would emit inf and a p = 0
+    # false positive.  The reference's contract for a singular design is a
+    # NaN row (LinAlgError catch, lmm/lmm.py:484-493); reproduce it here.
+    x_ok = xPx > MIN_VAL
+    beta = jnp.where(x_ok, xPy / jnp.maximum(xPx, MIN_VAL), jnp.nan)
     se_beta = jnp.sqrt(yPxy) / (
         jnp.sqrt(jnp.maximum(xPx, MIN_VAL)) * math.sqrt(df)
     )
@@ -266,8 +272,10 @@ def assoc_block(
         if not de:
             A1s = permute_x_before_y(A1s, c)
         sxPx, sxPy, syPy = reml.predictor_terms(A1s, c)
-        F_score = (
-            n * jnp.square(sxPy) / (jnp.maximum(syPy * sxPx, MIN_VAL))
+        F_score = jnp.where(
+            sxPx > MIN_VAL,  # degenerate predictor -> NaN, not p = 0
+            n * jnp.square(sxPy) / (jnp.maximum(syPy * sxPx, MIN_VAL)),
+            jnp.nan,
         )
         p_score = f_sf(F_score, df)
 

@@ -346,3 +346,28 @@ def test_top_basis_respool_matches_resident(rng):
                                np.asarray(b_res.ev_top), rtol=0, atol=0)
     np.testing.assert_allclose(np.asarray(b_rsp.U_top),
                                np.asarray(b_res.U_top), rtol=0, atol=0)
+
+
+def test_constant_snp_yields_nan_not_false_positive(rng):
+    """An exactly-collinear SNP (constant column, W=intercept) must come
+    out as a NaN row -- the reference's singular-design contract
+    (lmm/lmm.py:484-493) -- never as beta=inf / p=0.  On the implicit path
+    x'P_c x cancels to exactly zero, which previously emitted p = 0."""
+    lrk, G, W, y, X = _case(rng, n=150, pk=40, p=24)
+    X = X.copy()
+    X[:, 5] = 1.0  # constant column == intercept direction
+    cfg = GwasConfig(snp_block=12)
+    for c in (None,):  # intercept-only design
+        df_i = pygemma(y, X, c, lrk, config=cfg)
+        df_e = pygemma(y, X, c, lrk,
+                       config=cfg.replace(lowrank_implicit=False))
+        for df in (df_i, df_e):
+            assert not np.isfinite(df["beta"][5]) or \
+                np.asarray(df["p_wald"])[5] > 1e-10, \
+                "collinear SNP produced a significant p-value"
+        # the other lanes are unaffected
+        m = np.ones(24, bool)
+        m[5] = False
+        lg_i = -np.log10(np.asarray(df_i["p_wald"], np.float64)[m])
+        lg_e = -np.log10(np.asarray(df_e["p_wald"], np.float64)[m])
+        assert np.abs(lg_i - lg_e).max() < 0.05
