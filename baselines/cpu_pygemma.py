@@ -191,3 +191,45 @@ def run_gwas(ev, W_rot, y_rot, X_rot):
         out["F_wald"].append(F)
         out["p_wald"].append(stats.f.sf(F, 1, n - c - 1))
     return {k: np.asarray(v) for k, v in out.items()}
+
+
+# --- whole-node parallel baseline ------------------------------------------
+# The reference's intra-node parallelism is fork + read-only shared arrays +
+# Pool.imap over contiguous SNP column blocks (reference lmm/lmm.py:363-401,
+# 427-436).  Reproduced here so bench.py can report an honest NODE-level
+# ratio (all host cores), not just the per-core one.  fork() copy-on-write
+# gives workers the same zero-copy read-only view the reference built with
+# multiprocessing.Array.
+
+_POOL_CTX: dict = {}
+
+
+def _pool_init(ev, W_rot, y_rot, X_rot):
+    _POOL_CTX["args"] = (ev, W_rot, y_rot, X_rot)
+
+
+def _pool_work(blk):
+    s, e = blk
+    ev, W, y, X = _POOL_CTX["args"]
+    return run_gwas(ev, W, y, X[:, s:e])
+
+
+def run_gwas_pool(ev, W_rot, y_rot, X_rot, nproc=None):
+    """Rotated-space Wald scan fanned over ``nproc`` processes
+    (default: all host cores), reference Pool semantics."""
+    import multiprocessing as mp
+    import os
+
+    nproc = int(nproc or os.cpu_count() or 1)
+    p = X_rot.shape[1]
+    bounds = np.linspace(0, p, nproc + 1).astype(int)
+    blocks = [(int(bounds[i]), int(bounds[i + 1]))
+              for i in range(nproc) if bounds[i] < bounds[i + 1]]
+    if len(blocks) <= 1:
+        return run_gwas(ev, W_rot, y_rot, X_rot)
+    with mp.get_context("fork").Pool(
+            len(blocks), initializer=_pool_init,
+            initargs=(ev, W_rot, y_rot, X_rot)) as pool:
+        outs = pool.map(_pool_work, blocks)
+    return {k: np.concatenate([np.asarray(o[k]) for o in outs])
+            for k in outs[0]}

@@ -17,6 +17,31 @@ import time
 import numpy as np
 
 
+def _load_genotypes_packed(args):
+    """Production-scale ingest: wrap the on-disk 2-bit codes as a
+    :class:`pygemma_tpu.io.packed.PackedMatrix` (memmap; bytes ship to the
+    device verbatim and decode on-chip) instead of materializing the dense
+    float32 matrix (20 GB host RAM at 50k x 100k).  Mirrors the shell
+    reachability of the reference's large-GWAS flow
+    (reference experiments/large_gwas/run_pygemma.py:23-31)."""
+    from .io.packed import PackedMatrix
+
+    if args.bfile:
+        from .io.plink import _read_tsv
+
+        X = PackedMatrix.open_bed(args.bfile,
+                                  standardize=args.stream_standardize)
+        bim = _read_tsv(args.bfile + ".bim")
+        names = [r[1] for r in bim]
+        chrom = np.asarray([r[0] for r in bim])
+        pos = np.asarray([int(r[3]) for r in bim], dtype=np.int64)
+        return X, names, chrom, pos
+    if args.geno_2b:
+        X = PackedMatrix.open_rawbin(args.geno_2b)
+        return X, [f"snp{i}" for i in range(X.shape[1])], None, None
+    raise SystemExit("--stream-packed requires --bfile or --geno-2b")
+
+
 def _load_genotypes(args):
     from . import io as pio
 
@@ -40,13 +65,23 @@ def cmd_run(args):
     from . import preprocess as pp
     from .io import bimbam, rawbin
 
-    X, names, chrom, pos = _load_genotypes(args)
-    if np.isnan(X).any():
-        X = pp.mean_impute(X)
-    if args.drop_constant:
-        X, names, keep = pp.drop_zero_variance(X, names)
-        chrom = chrom[keep] if chrom is not None else None
-        pos = pos[keep] if pos is not None else None
+    streamed = bool(args.stream_packed or args.geno_2b)
+    if streamed:
+        X, names, chrom, pos = _load_genotypes_packed(args)
+        for flag in ("drop_constant", "pcs"):
+            if getattr(args, flag):
+                raise SystemExit(
+                    f"--{flag.replace('_', '-')} needs the dense genotype "
+                    "matrix; drop it or omit --stream-packed (a constant "
+                    "SNP simply yields the NaN row contract)")
+    else:
+        X, names, chrom, pos = _load_genotypes(args)
+        if np.isnan(X).any():
+            X = pp.mean_impute(X)
+        if args.drop_constant:
+            X, names, keep = pp.drop_zero_variance(X, names)
+            chrom = chrom[keep] if chrom is not None else None
+            pos = pos[keep] if pos is not None else None
 
     if args.pheno.endswith((".tsv", ".csv")):
         import pandas as pd
@@ -63,6 +98,12 @@ def cmd_run(args):
     y_first = Y[:, 0] if Y.ndim > 1 else Y
     keep = np.isfinite(np.asarray(y_first, dtype=np.float64))
     if not keep.all():
+        if streamed:
+            raise SystemExit(
+                f"{int((~keep).sum())} individuals have missing phenotype; "
+                "the packed streaming path cannot subset the sample axis "
+                "lazily -- filter the .fam/.bed upstream (plink --keep) or "
+                "omit --stream-packed")
         print(f"dropping {int((~keep).sum())} individuals with missing "
               f"phenotype", file=sys.stderr)
         Y = Y[keep]
@@ -90,16 +131,37 @@ def cmd_run(args):
     elif args.eigenvalues:
         K = rawbin.read_eigenvalues(args.eigenvalues)
         eigen = False
+    elif args.lowrank_snps:
+        # implicit low-rank GRM from the first N SNP columns: K = G G'/N
+        # + eps I, never materialized -- the production path for large n
+        # (core/lowrank.py; replaces the reference's external SLATE
+        # eigendecomposition seam from the shell)
+        from .core.lowrank import LowRankKinship
+
+        n = X.shape[0]
+        if args.lowrank_snps >= n:
+            raise SystemExit(
+                f"--lowrank-snps {args.lowrank_snps} must be < n={n} "
+                "(otherwise use the dense GRM)")
+        G = (X.cols(0, args.lowrank_snps) if streamed
+             else X[:, : args.lowrank_snps])
+        K = LowRankKinship(G, eps=args.lowrank_eps)
     else:
         from .io.kinship import kinship_blocked
 
         K = kinship_blocked(X, standardize=args.gk == 2)
 
+    mesh = None
+    if args.mesh:
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh(snp=args.mesh)
+
     cfg = GwasConfig(tests=tuple(args.tests.split(",")),
                      grid=args.grid, snp_block=args.snp_block)
     t0 = time.time()
     df = pygemma(Y, X, W, K, snps=names, eigen=eigen, verbose=args.verbose,
-                 config=cfg, run_dir=args.run_dir)
+                 config=cfg, run_dir=args.run_dir, mesh=mesh)
     if chrom is not None:
         reps = len(df) // len(chrom)
         df["chrom"] = np.tile(chrom, reps)
@@ -133,6 +195,26 @@ def main(argv=None):
     r.add_argument("--traw", help="PLINK .traw dosage file")
     r.add_argument("--geno-bimbam", help="BIMBAM mean-genotype file")
     r.add_argument("--geno-bin", help="raw float32 .bin/.dim prefix")
+    r.add_argument("--geno-2b",
+                   help="2-bit packed prefix (.2b/.dim/.scale.npz, written "
+                        "by io.packed.write_rawbin_2bit); implies streaming")
+    r.add_argument("--stream-packed", action="store_true",
+                   help="stream 2-bit genotype codes to the device and "
+                        "decode on-chip (memmap host-side; never builds the "
+                        "dense float32 matrix). Use with --bfile or "
+                        "--geno-2b for production-scale cohorts")
+    r.add_argument("--stream-standardize", action="store_true",
+                   help="with --stream-packed: unit-variance scale each SNP "
+                        "(default only centers, so beta matches the dense "
+                        "dosage path)")
+    r.add_argument("--lowrank-snps", type=int, default=0,
+                   help="build an implicit low-rank GRM from the first N "
+                        "SNPs (K = GG'/N + eps I, never materialized); the "
+                        "large-n production path")
+    r.add_argument("--lowrank-eps", type=float, default=1e-3,
+                   help="diagonal ridge for --lowrank-snps (default 1e-3)")
+    r.add_argument("--mesh", type=int, default=0,
+                   help="shard the scan (and eigh) over an N-device mesh")
     r.add_argument("--pheno", required=True)
     r.add_argument("--pheno-col", type=int, default=None)
     r.add_argument("--covar", help="covariate matrix file")

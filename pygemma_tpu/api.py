@@ -401,11 +401,10 @@ def pygemma(
                 sharded_assoc_implicit_fn,
                 sharded_implicit_prep_fn,
             )
-            from .parallel.mesh import replicated as _replicated
+            from .parallel.mesh import put_replicated as _put_rep
 
-            rep = _replicated(mesh)
-            ev_dev = jax.device_put(ev_dev, rep)
-            U_top = jax.device_put(U_top, rep)
+            ev_dev = _put_rep(ev_dev, mesh)
+            U_top = _put_rep(U_top, mesh)
             with_null = ("lrt" in cfg.tests) or ("score" in cfg.tests)
             prep_fn = sharded_implicit_prep_fn(mesh, cfg)
             assoc_fn_impl = sharded_assoc_implicit_fn(
@@ -416,8 +415,8 @@ def pygemma(
             W_raw_dev = jnp.asarray(W)
             Y_raw_dev = jnp.asarray(Y)
             if mesh is not None:
-                W_raw_dev = jax.device_put(W_raw_dev, rep)
-                Y_raw_dev = jax.device_put(Y_raw_dev, rep)
+                W_raw_dev = _put_rep(W_raw_dev, mesh)
+                Y_raw_dev = _put_rep(Y_raw_dev, mesh)
             W_dev = rotate(U_top, W_raw_dev)
             Y_dev = rotate(U_top, Y_raw_dev)
         U_dev = None  # no n x n basis exists on this path
@@ -460,20 +459,31 @@ def pygemma(
         if mesh is not None:
             # an eigenbasis computed on a single device (host path, lowrank
             # path) must be replicated onto the mesh before sharded use
-            from .parallel.mesh import replicated as _replicated
+            from .parallel.mesh import put_replicated as _put_rep
 
-            rep = _replicated(mesh)
-            ev_dev = jax.device_put(ev_dev, rep)
-            U_dev = jax.device_put(U_dev, rep)
+            ev_dev = _put_rep(ev_dev, mesh)
+            U_dev = _put_rep(U_dev, mesh)
         with log.stage("rotation of W, Y"):
-            W_dev = rotate(U_dev, jnp.asarray(W))
-            Y_dev = rotate(U_dev, jnp.asarray(Y))
+            W_in, Y_in = jnp.asarray(W), jnp.asarray(Y)
+            if mesh is not None:
+                from .parallel.mesh import put_replicated as _put_rep2
+
+                W_in = _put_rep2(W_in, mesh)
+                Y_in = _put_rep2(Y_in, mesh)
+            W_dev = rotate(U_dev, W_in)
+            Y_dev = rotate(U_dev, Y_in)
     else:
         ev = np.maximum(0.0, np.asarray(K, dtype=dtype).reshape(-1))
         ev_dev = jnp.asarray(ev)
         U_dev = None
         W_dev = jnp.asarray(W)
         Y_dev = jnp.asarray(Y)
+        if mesh is not None:
+            from .parallel.mesh import put_replicated as _put_rep3
+
+            ev_dev = _put_rep3(ev_dev, mesh)
+            W_dev = _put_rep3(W_dev, mesh)
+            Y_dev = _put_rep3(Y_dev, mesh)
 
     B = min(cfg.snp_block, max(p, 1))
     if mesh is not None and cfg.snp_axis in mesh.shape:
@@ -500,6 +510,21 @@ def pygemma(
             list(snps) * n_pheno if n_pheno > 1 else list(snps)
         )
     return results_df
+
+
+def _stacked_to_host(stacked) -> np.ndarray:
+    """Device (n_keys, B) result block -> host ndarray.
+
+    Under a multi-process mesh the block is SNP-sharded across processes
+    (not fully addressable), so it is all-gathered first -- the in-program
+    replacement for the reference's offline CSV concatenation
+    (reference tests/combine_benchmarks.py:17-29); every process ends up
+    with the identical full table."""
+    if getattr(stacked, "is_fully_addressable", True):
+        return np.asarray(stacked)
+    import jax.experimental.multihost_utils as mhu
+
+    return np.asarray(mhu.process_allgather(stacked, tiled=True))
 
 
 def _scan_phenos_looped(X, Y_dev, W_dev, ev_dev, U_dev, cfg, de, n, p, B, log,
@@ -575,7 +600,7 @@ def _scan_phenos_looped(X, Y_dev, W_dev, ev_dev, U_dev, cfg, de, n, p, B, log,
             writer = _cf.ThreadPoolExecutor(max_workers=1)
 
         def _pull_save(start_, m_, stacked_):
-            blk = block_to_cols(np.asarray(stacked_), m_)
+            blk = block_to_cols(_stacked_to_host(stacked_), m_)
             ckpt.save_block(ph * p + start_, blk)
             return blk
 
@@ -648,7 +673,7 @@ def _scan_phenos_looped(X, Y_dev, W_dev, ev_dev, U_dev, cfg, de, n, p, B, log,
                 if isinstance(item, tuple) and item[0] == "blk":
                     blk = item[1]
                 elif isinstance(item, tuple):
-                    blk = block_to_cols(np.asarray(item[1]), item[0])
+                    blk = block_to_cols(_stacked_to_host(item[1]), item[0])
                 else:
                     blk = item.result()  # writer future
                 for k in cols:

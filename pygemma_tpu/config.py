@@ -43,9 +43,10 @@ class GwasConfig:
     #: implicit-complement scan for LowRankKinship inputs: rotate only into
     #: the p_k-dim top eigenspace and fold the eps-complement in through
     #: lambda-independent residual Grams (core/grams.py::GramComplement) --
-    #: no n x n eigenbasis is ever built.  None = auto (on whenever K is a
-    #: LowRankKinship and no mesh is given); False forces the explicit
-    #: full-basis path (parity tests).
+    #: no n x n eigenbasis is ever built.  None = auto (on for ANY
+    #: LowRankKinship input, including mesh runs, which use a dedicated
+    #: sharded implicit path); False forces the explicit full-basis path
+    #: (parity tests).
     lowrank_implicit: Optional[bool] = None
 
     # --- lambda optimizer ---------------------------------------------------

@@ -241,11 +241,20 @@ def assoc_block(
     # false positive.  The reference's contract for a singular design is a
     # NaN row (LinAlgError catch, lmm/lmm.py:484-493); reproduce it here.
     x_ok = xPx > MIN_VAL
-    beta = jnp.where(x_ok, xPy / jnp.maximum(xPx, MIN_VAL), jnp.nan)
-    se_beta = jnp.sqrt(yPxy) / (
-        jnp.sqrt(jnp.maximum(xPx, MIN_VAL)) * math.sqrt(df)
+    nan = jnp.asarray(jnp.nan, dtype)
+    beta = jnp.where(x_ok, xPy / jnp.maximum(xPx, MIN_VAL), nan)
+    # the reference's contract for a singular design is a FULL NaN row
+    # (every column, lmm/lmm.py:484-493): gate the remaining per-SNP
+    # outputs on the same mask so se/tau/lambda never report finite values
+    # for a SNP whose beta/p are NaN
+    se_beta = jnp.where(
+        x_ok,
+        jnp.sqrt(yPxy) / (jnp.sqrt(jnp.maximum(xPx, MIN_VAL))
+                          * math.sqrt(df)),
+        nan,
     )
-    tau = df / yPxy
+    tau = jnp.where(x_ok, df / yPxy, nan)
+    lam_star = jnp.where(x_ok, lam_star, nan)
     F_wald = jnp.square(beta / se_beta)
     p_wald = f_sf(F_wald, df)
 
@@ -258,7 +267,9 @@ def assoc_block(
         lam_ml, logl_H1 = solve_lambda(prob_ml, cfg)
         assert null is not None, "LRT requires a null-model fit"
         D = 2.0 * (logl_H1 - null.loglik_ml)
-        p_lrt = chi2_sf_1df(D)
+        p_lrt = jnp.where(x_ok, chi2_sf_1df(D), nan)
+        lam_ml = jnp.where(x_ok, lam_ml, nan)
+        logl_H1 = jnp.where(x_ok, logl_H1, nan)
 
     p_score = F_score = None
     if "score" in cfg.tests:
@@ -272,10 +283,14 @@ def assoc_block(
         if not de:
             A1s = permute_x_before_y(A1s, c)
         sxPx, sxPy, syPy = reml.predictor_terms(A1s, c)
+        # degenerate predictor -> NaN, not p = 0; ALSO gated on the Wald
+        # x_ok mask: the null-lambda xPx can sit just above the absolute
+        # MIN_VAL clamp by f32 roundoff while the SNP is exactly collinear,
+        # and the reference's singular-design contract is a FULL NaN row
         F_score = jnp.where(
-            sxPx > MIN_VAL,  # degenerate predictor -> NaN, not p = 0
+            x_ok & (sxPx > MIN_VAL),
             n * jnp.square(sxPy) / (jnp.maximum(syPy * sxPx, MIN_VAL)),
-            jnp.nan,
+            nan,
         )
         p_score = f_sf(F_score, df)
 

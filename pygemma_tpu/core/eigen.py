@@ -80,7 +80,7 @@ def host_eigendecompose(K, dtype=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def _device_hbm_bytes() -> int:
-    dev = jax.devices()[0]
+    dev = jax.local_devices()[0]
     try:
         stats = dev.memory_stats()
         limit = int(stats.get("bytes_limit", 0))
@@ -163,7 +163,7 @@ def auto_eigendecompose(K, backend: str = "auto", dtype=None,
         ev, U = eigh_dc(jnp.asarray(K))
         return jnp.maximum(ev, 0.0), U
     n = K.shape[0]
-    if jax.devices()[0].platform == "cpu":
+    if jax.local_devices()[0].platform == "cpu":
         # virtual-CPU test meshes: jnp eigh is fine and shardable
         return eigendecompose(jnp.asarray(K))
     hbm = _device_hbm_bytes()

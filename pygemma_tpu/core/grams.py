@@ -166,6 +166,9 @@ def _complement_correct(grams, sums, ks, comp: "GramComplement", lam,
         eg = lambda w: w[:, :, None, None]
         es = lambda w: w
     nc = float(comp.n_comp)
+    # every builder returns grams in ascending-k order (range(1, kmax+1)
+    # loops; the fused path sorts explicitly), so sorted(ks) is the right
+    # zip order here no matter how the caller spelled ks
     grams = tuple(A + eg(wc ** k) * R for A, k in zip(grams, sorted(ks)))
     sums = GramSums(
         sum_d=sums.sum_d + nc * es(wc),
@@ -344,7 +347,10 @@ def grams_per_snp_lambda_fused(
         lam, ev, pairs, shared, v, kmax, want_logh
     )
     grams = []
-    for k in ks:
+    # ascending-k order, matching the non-fused builders (which iterate
+    # range(1, kmax+1)) and _complement_correct's sorted(ks) zip -- an
+    # unsorted caller ks must never reorder the returned tuple
+    for k in sorted(ks):
         S_k = unpack_sym(S[..., k - 1, :], s)
         grams.append(
             _assemble_nd(S_k, vS[..., k - 1, :], vv[..., k - 1])

@@ -26,6 +26,7 @@ reference's mean imputation (experiments/ukb_afr/code/run_snp.py:72-86).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional, Tuple
 
@@ -121,6 +122,11 @@ class PackedMatrix:
             raise ValueError("mu/sd must have one entry per column")
         self.coding = coding
         self._missing = 1 if coding == "bed" else MISSING_2BIT
+        #: stable identity for the device-resident block cache
+        #: (io/streaming.py): set by the file-backed constructors to
+        #: "<abspath>:<mtime>" and propagated (with the column offset) by
+        #: ``cols``; None disables caching for this matrix.
+        self.cache_token: Optional[str] = None
 
     # --- array-like surface -------------------------------------------------
     @property
@@ -163,9 +169,12 @@ class PackedMatrix:
     def cols(self, start: int, stop: int) -> "PackedMatrix":
         """Zero-copy view of a column (SNP) range -- e.g. the kinship SNP
         subset of a cohort (``LowRankKinship(X.cols(0, 16384))``)."""
-        return PackedMatrix(self.data[:, start:stop], self.n,
-                            self.mu[start:stop], self.sd[start:stop],
-                            self.coding)
+        sub = PackedMatrix(self.data[:, start:stop], self.n,
+                           self.mu[start:stop], self.sd[start:stop],
+                           self.coding)
+        if self.cache_token is not None:
+            sub.cache_token = f"{self.cache_token}+{start}"
+        return sub
 
     # --- constructors --------------------------------------------------------
     @classmethod
@@ -207,7 +216,10 @@ class PackedMatrix:
                        shape=(p, n4))
         with np.load(prefix + ".scale.npz") as z:
             mu, sd = z["mu"], z["sd"]
-        return cls(mm.T, n, mu, sd)
+        self = cls(mm.T, n, mu, sd)
+        path = os.path.abspath(prefix + ".2b")
+        self.cache_token = f"{path}:{os.path.getmtime(path)}"
+        return self
 
     @classmethod
     def open_bed(cls, prefix: str, mu=None, sd=None,
@@ -252,6 +264,9 @@ class PackedMatrix:
                     sd[s:e] = np.maximum(np.sqrt(v), eps)
         self.mu = np.asarray(mu, np.float32).reshape(-1)
         self.sd = np.asarray(sd, np.float32).reshape(-1)
+        path = os.path.abspath(prefix + ".bed")
+        self.cache_token = (
+            f"{path}:{os.path.getmtime(path)}:std{int(standardize)}")
         return self
 
 

@@ -17,6 +17,34 @@ import numpy as np
 from .packed import PackedMatrix, dequantize_packed_device
 from .quantized import QuantizedMatrix, dequantize_device
 
+# --- device-resident packed-block cache -----------------------------------
+# Keyed by (PackedMatrix.cache_token, start, stop): holds the PACKED uint8
+# device arrays (plus mu/sd), 16x smaller than float32, so repeated scans
+# against the same cohort (multi-phenotype studies, warm benchmark passes,
+# resumed runs) skip the host->device tunnel entirely -- at 50k x 100k that
+# is 1.33 GB ~ 24 s per avoided pass on the ~50 MB/s tunnel.  Budget via
+# PYGEMMA_TPU_GENO_DEV_CACHE_MB (0 = off, the default: HBM belongs to the
+# scan unless the user opts in).  Insertion stops at the budget; no
+# eviction churn (cohort blocks are re-touched every pass, LRU would evict
+# exactly what is about to be reused).
+_DEV_BLOCK_CACHE: dict = {}
+_DEV_BLOCK_CACHE_BYTES = [0]
+
+
+def _cache_budget_bytes() -> int:
+    import os
+
+    try:
+        return int(float(os.environ.get(
+            "PYGEMMA_TPU_GENO_DEV_CACHE_MB", "0")) * 2**20)
+    except ValueError:
+        return 0
+
+
+def clear_device_block_cache() -> None:
+    _DEV_BLOCK_CACHE.clear()
+    _DEV_BLOCK_CACHE_BYTES[0] = 0
+
 
 class SnpBlockStreamer:
     """Iterate (start, stop, device_block) with one-block prefetch.
@@ -40,7 +68,10 @@ class SnpBlockStreamer:
         self.X = X
         self.block = block
         self.dtype = dtype
-        self.device = device or jax.devices()[0]
+        # local_devices, not devices: under jax.distributed, devices()[0]
+        # is process 0's device -- putting host data on it from another
+        # process crashes (observed SIGSEGV in the 2-process driver test)
+        self.device = device or jax.local_devices()[0]
         self.shardings = shardings
         self.p = X.shape[1]
         # prefetch depth: how many blocks are sliced/shipped ahead of the
@@ -52,10 +83,24 @@ class SnpBlockStreamer:
         self.depth = max(1, int(
             depth if depth is not None
             else os.environ.get("PYGEMMA_TPU_PREFETCH", "2")))
+        self._spans_processes = False
+        if shardings is not None:
+            me = jax.process_index()
+            self._spans_processes = any(
+                d.process_index != me for d in shardings[0].device_set)
 
     def _put(self, arr, vec: bool = False):
         if self.shardings is not None:
-            return jax.device_put(arr, self.shardings[1 if vec else 0])
+            sh = self.shardings[1 if vec else 0]
+            if self._spans_processes:
+                # multi-host mesh: device_put cannot target non-addressable
+                # devices; the callback hands each process exactly its
+                # addressable column shards of the (replicated-on-host)
+                # block -- only local shard bytes cross the host link
+                a = np.asarray(arr)
+                return jax.make_array_from_callback(
+                    a.shape, sh, lambda idx: a[idx])
+            return jax.device_put(arr, sh)
         return jax.device_put(arr, self.device)
 
     def _fetch(self, start: int):
@@ -63,16 +108,34 @@ class SnpBlockStreamer:
         pad = self.block - (stop - start)
         if isinstance(self.X, PackedMatrix):
             # ship 2-bit packed bytes (16x less tunnel traffic than
-            # float32); unpack + dequantize on device
+            # float32); unpack + dequantize on device.  A cache hit skips
+            # the host slice AND the transfer (packed device arrays are
+            # kept, not the 16x-larger dequantized floats).
+            key = None
+            if (self.X.cache_token is not None and self.shardings is None
+                    and _cache_budget_bytes() > 0):
+                key = (self.X.cache_token, start, stop, self.block)
+                ent = _DEV_BLOCK_CACHE.get(key)
+                if ent is not None:
+                    gd, mud, sdd = ent
+                    xb = dequantize_packed_device(
+                        gd, mud, sdd, n=self.X.n, coding=self.X.coding)
+                    return start, stop, xb
             g, mu, sd = self.X.quant_block(start, stop)
             if pad:
                 g = np.pad(g, ((0, 0), (0, pad)))
                 mu = np.pad(mu, (0, pad))
                 sd = np.pad(sd, (0, pad), constant_values=1.0)
+            gd = self._put(g)
+            mud = self._put(mu, vec=True)
+            sdd = self._put(sd, vec=True)
+            if key is not None:
+                nbytes = g.nbytes + mu.nbytes + sd.nbytes
+                if _DEV_BLOCK_CACHE_BYTES[0] + nbytes <= _cache_budget_bytes():
+                    _DEV_BLOCK_CACHE[key] = (gd, mud, sdd)
+                    _DEV_BLOCK_CACHE_BYTES[0] += nbytes
             xb = dequantize_packed_device(
-                self._put(g), self._put(mu, vec=True),
-                self._put(sd, vec=True),
-                n=self.X.n, coding=self.X.coding,
+                gd, mud, sdd, n=self.X.n, coding=self.X.coding,
             )
             return start, stop, xb
         if isinstance(self.X, QuantizedMatrix):

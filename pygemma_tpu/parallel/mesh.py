@@ -32,6 +32,27 @@ def make_mesh(
     return Mesh(arr, (sample_axis, snp_axis))
 
 
+def mesh_spans_processes(mesh: Mesh) -> bool:
+    """True when the mesh contains devices of other processes (multi-host
+    SPMD: host data must enter via ``make_array_from_callback``, since a
+    plain ``device_put`` cannot target non-addressable devices)."""
+    me = jax.process_index()
+    return any(d.process_index != me for d in mesh.devices.flat)
+
+
+def put_replicated(x, mesh: Mesh) -> jax.Array:
+    """Replicate host (or single-device) data onto the whole mesh.
+
+    Works across processes: every process must hold the SAME values (the
+    driver's replicated inputs -- eigenvalues, eigenbasis, covariates --
+    are computed deterministically or loaded identically on each host)."""
+    sh = replicated(mesh)
+    if not mesh_spans_processes(mesh):
+        return jax.device_put(x, sh)
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(arr.shape, sh, lambda idx: arr[idx])
+
+
 def snp_sharding(mesh: Mesh, snp_axis: str = "snp") -> NamedSharding:
     """(n, B) genotype block sharded over its SNP (second) axis."""
     return NamedSharding(mesh, P(None, snp_axis))

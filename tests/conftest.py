@@ -55,6 +55,36 @@ def pytest_runtest_call(item):
         signal.signal(signal.SIGALRM, old)
 
 
+# --- memory-map budget guard -------------------------------------------
+# Every XLA:CPU executable the suite compiles holds JIT code as a triple of
+# small anonymous mappings (r-xp/r--p/rw-p) for the life of the process;
+# jax caches executables unboundedly, so a full run accumulates ~65k maps
+# and SIGSEGVs the moment it crosses the kernel's vm.max_map_count (65,530)
+# -- reproduced twice in round 4 (crash inside backend_compile_and_load on
+# the LAST test, 144/145 already passed; watcher showed 65,394 maps 10 s
+# before death).  ``jax.clear_caches()`` releases the executables and the
+# ORC JIT pools are then REUSED (measured: +0 maps across 80 fresh compiles
+# after a clear), so clearing when the map count crosses a threshold keeps
+# the process permanently below the ceiling at the cost of some recompiles.
+_MAP_THRESHOLD = int(os.environ.get("PYGEMMA_TPU_TEST_MAP_THRESHOLD", "24000"))
+
+
+def _map_count() -> int:
+    try:
+        with open("/proc/self/maps") as f:
+            return sum(1 for _ in f)
+    except OSError:  # non-Linux: no /proc, and no max_map_count either
+        return 0
+
+
+def pytest_runtest_teardown(item, nextitem):
+    if _MAP_THRESHOLD > 0 and _map_count() >= _MAP_THRESHOLD:
+        import gc
+
+        jax.clear_caches()
+        gc.collect()
+
+
 @pytest.fixture(scope="session")
 def rng():
     import numpy as np
