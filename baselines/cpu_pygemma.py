@@ -214,11 +214,23 @@ def _pool_work(blk):
     return run_gwas(ev, W, y, X[:, s:e])
 
 
-def run_gwas_pool(ev, W_rot, y_rot, X_rot, nproc=None):
+def _pool_noop(_):
+    return None
+
+
+def run_gwas_pool(ev, W_rot, y_rot, X_rot, nproc=None, timer=None):
     """Rotated-space Wald scan fanned over ``nproc`` processes
-    (default: all host cores), reference Pool semantics."""
+    (default: all host cores), reference Pool semantics.
+
+    ``timer``: optional 1-element list; receives the STEADY-STATE wall
+    seconds of the scan itself -- workers are spun up and warmed with a
+    no-op map first, so process startup (which real runs amortize over
+    ~100k SNPs) does not pollute a small benchmark subset.  Uses the
+    "spawn" context: forking a process whose JAX runtime already started
+    threads can deadlock."""
     import multiprocessing as mp
     import os
+    import time
 
     nproc = int(nproc or os.cpu_count() or 1)
     p = X_rot.shape[1]
@@ -226,10 +238,18 @@ def run_gwas_pool(ev, W_rot, y_rot, X_rot, nproc=None):
     blocks = [(int(bounds[i]), int(bounds[i + 1]))
               for i in range(nproc) if bounds[i] < bounds[i + 1]]
     if len(blocks) <= 1:
-        return run_gwas(ev, W_rot, y_rot, X_rot)
-    with mp.get_context("fork").Pool(
+        t0 = time.time()
+        out = run_gwas(ev, W_rot, y_rot, X_rot)
+        if timer is not None:
+            timer[:] = [time.time() - t0]
+        return out
+    with mp.get_context("spawn").Pool(
             len(blocks), initializer=_pool_init,
             initargs=(ev, W_rot, y_rot, X_rot)) as pool:
+        pool.map(_pool_noop, range(len(blocks)))  # spin-up + import warm
+        t0 = time.time()
         outs = pool.map(_pool_work, blocks)
+        if timer is not None:
+            timer[:] = [time.time() - t0]
     return {k: np.concatenate([np.asarray(o[k]) for o in outs])
             for k in outs[0]}

@@ -119,6 +119,10 @@ def _rotated_repr_from_implicit(basis, W, y, X_sub):
     pk = basis.U_top.shape[1]
     T = np.c_[W, y, X_sub].astype(np.float32)
     t = T.shape[1]
+    if t > n - pk:
+        raise ValueError(
+            f"rotated representation needs t={t} <= n - p_k = {n - pk} "
+            "complement dimensions; pass fewer columns")
     # project on DEVICE: pulling U_top host-side would move n*p_k floats
     # through the tunnel (3.3 GB at n=50k)
     C = np.asarray(jnp.dot(basis.U_top.T, jnp.asarray(T),
@@ -371,19 +375,25 @@ def bench_large():
     # reference lmm/lmm.py:363-401), which is the honest unit behind the
     # reference's ">10x vs GEMMA on 32-cpu nodes" claims.
     ncores = os.cpu_count() or 1
-    node_snps = min(p, base_snps * max(1, ncores))
+    # enough node-baseline SNPs that per-SNP work dominates timing noise
+    # (Pool startup is excluded separately -- real runs amortize it over
+    # ~100k SNPs); the implicit-basis rotated representation needs
+    # t = c + 1 + n_cols <= n - p_k complement dimensions
+    node_snps = min(p, max(base_snps * max(1, ncores), 24 * base_snps),
+                    max(n - k_snps - c - 1, base_snps))
     X_sub = np.asarray(X[:, :node_snps])
     ev_h, W_r, y_r, Xr_sub = _rotated_repr_from_implicit(basis, W, y, X_sub)
     cpu_out, cpu_rate = _cpu_baseline(ev_h, W_r, y_r, Xr_sub[:, :base_snps])
     log(f"cpu baseline (1 core): {cpu_rate:.2f} SNPs/s")
     from baselines.cpu_pygemma import run_gwas_pool
 
-    t0 = time.time()
+    timer = [0.0]
     node_out = run_gwas_pool(np.asarray(ev_h, np.float64),
                              np.asarray(W_r, np.float64),
                              np.asarray(y_r, np.float64),
-                             np.asarray(Xr_sub, np.float64), nproc=ncores)
-    node_rate = node_snps / (time.time() - t0)
+                             np.asarray(Xr_sub, np.float64), nproc=ncores,
+                             timer=timer)
+    node_rate = node_snps / max(timer[0], 1e-9)
     log(f"cpu baseline (node, {ncores} cores via Pool): "
         f"{node_rate:.2f} SNPs/s")
     rel = np.nanmedian(np.abs(np.asarray(df["beta"][:base_snps])
@@ -399,9 +409,11 @@ def bench_large():
     if mesh_smoke:
         try:
             # sharded-vs-single-device identity on a real-n rotated slice
-            # (exact rotated representation of 512 cohort SNPs)
+            # (exact rotated representation needs t <= n - p_k complement
+            # dims, so cap the column count at small smoke shapes)
+            n_sm = max(8, min(512, n - k_snps - c - 1, p))
             _, Wr_s, yr_s, Xr_s = _rotated_repr_from_implicit(
-                basis, W, y, np.asarray(X[:, :512]))
+                basis, W, y, np.asarray(X[:, :n_sm]))
             ev_s = jnp.asarray(ev_h, jnp.float32)
             Wr_d = jnp.asarray(Wr_s, jnp.float32)
             yr_d = jnp.asarray(yr_s, jnp.float32)

@@ -105,10 +105,15 @@ _SIGN_PREC = jax.lax.Precision.HIGHEST
 
 @jax.jit
 def _sign_step(X, a, b, c):
+    """One polynomial sign step PLUS the convergence residual of the INPUT,
+    read off the X^2 that the step computes anyway -- so monitoring
+    convergence costs zero extra GEMMs (a separate residual check was one
+    full n^3 GEMM per polish round)."""
     X2 = jnp.dot(X, X, precision=_SIGN_PREC)
     X3 = jnp.dot(X, X2, precision=_SIGN_PREC)
     X5 = jnp.dot(X3, X2, precision=_SIGN_PREC)
-    return a * X + b * X3 + c * X5
+    resid_in = jnp.max(jnp.abs(X2 - jnp.eye(X.shape[0], dtype=X.dtype)))
+    return a * X + b * X3 + c * X5, resid_in
 
 
 @jax.jit
@@ -164,34 +169,8 @@ def _projector_rank(S):
 
 
 @jax.jit
-def _range_gram(P, Om):
-    Y = jnp.dot(P, Om, precision=_HI)
-    return Y, jnp.dot(Y.T, Y, precision=_HI)
-
-
-@jax.jit
-def _gram(Y):
-    return jnp.dot(Y.T, Y, precision=_HI)
-
-
-@jax.jit
 def _project_out(V, Y):
     return Y - jnp.dot(V, jnp.dot(V.T, Y, precision=_HI), precision=_HI)
-
-
-@jax.jit
-def _cholqr_solve(Y, G):
-    """One CholeskyQR pass: Q = Y R^{-1} with R = chol(G), G = Y'Y.
-
-    Fallback orthonormalization for backends where a tall Householder QR
-    at the full size does not compile: only the (k, k) Gram is factorized.
-    NOTE: masks rank deficiency (the ridge keeps chol finite), so callers
-    must tolerate or check column norms."""
-    eps = jnp.finfo(Y.dtype).eps
-    G = G + (eps * jnp.trace(G)) * jnp.eye(G.shape[0], dtype=Y.dtype)
-    R = jnp.linalg.cholesky(G.T).T  # upper-triangular factor G = R'R
-    Qt = jax.scipy.linalg.solve_triangular(R.T, Y.T, lower=True)
-    return Qt.T
 
 
 @jax.jit
@@ -211,6 +190,39 @@ def _qr_q(Y):
 #: ~16 GB of unrolled temps; panels of 2048 keep both well inside limits)
 _PANEL_QR_MAX_DIRECT = 4096
 _PANEL = 2048
+
+
+@jax.jit
+def _cholqr2(Y):
+    """CholeskyQR2: two CholeskyQR passes give machine-orthonormal columns
+    for moderately conditioned Y -- and run as pure GEMM + (k, k) Cholesky
+    + small-factor triangular solve, all MXU/compile-friendly sizes.
+
+    This replaces the tall Householder QR on the panel path: XLA's
+    Householder at (16384, 2048) is the measured wall of the range-finding
+    stage (it is not MXU-dense), while both CholQR passes together are a
+    few hundred ms of GEMMs.  Rank-deficient input yields NaN columns
+    (cholesky of a singular Gram); callers check and fall back."""
+    for _ in range(2):
+        G = jnp.dot(Y.T, Y, precision=_HI)
+        eps = jnp.finfo(Y.dtype).eps
+        G = G + (eps * jnp.trace(G)) * jnp.eye(G.shape[0], dtype=Y.dtype)
+        L = jnp.linalg.cholesky(G)  # G = L L'
+        Y = jax.scipy.linalg.solve_triangular(
+            L, Y.T, lower=True).T  # Y <- Y L^-T
+    return Y
+
+
+@partial(jax.jit, static_argnames=())
+def _panel_step_cqr(Qbuf, Yj, j):
+    """BCGS2 panel step with CholeskyQR2 panel factorization (see
+    :func:`_cholqr2`; the Householder variant below is the fallback for
+    rank-deficient panels)."""
+    for _ in range(2):
+        Yj = Yj - jnp.dot(Qbuf, jnp.dot(Qbuf.T, Yj, precision=_HI),
+                          precision=_HI)
+    Qj = _cholqr2(Yj)
+    return jax.lax.dynamic_update_slice(Qbuf, Qj, (0, j))
 
 
 @partial(jax.jit, static_argnames=())
@@ -235,11 +247,13 @@ def _panel_step(Qbuf, Yj, j):
     return jax.lax.dynamic_update_slice(Qbuf, Qj, (0, j))
 
 
-def _panel_qr(Y, panel: int = _PANEL):
+def _panel_qr(Y, panel: int = _PANEL, cholqr: bool = True):
     """Orthonormalize the columns of a tall (n, k) block with GEMMs plus
-    Householder QRs at the ``panel`` width only (blocked BCGS2) -- the
-    sizes this backend's compiler and HBM handle.  Columns are processed
-    in fixed-shape slabs so the device loop compiles once."""
+    per-panel factorizations (blocked BCGS2) -- the sizes this backend's
+    compiler and HBM handle.  Columns are processed in fixed-shape slabs so
+    the device loop compiles once.  ``cholqr=True`` uses the CholeskyQR2
+    panel (GEMM-dominated, ~10x faster than the Householder panel on this
+    backend); False is the rank-robust Householder fallback."""
     n, k = Y.shape
     pad = (-k) % panel
     if pad:
@@ -250,16 +264,28 @@ def _panel_qr(Y, panel: int = _PANEL):
                                   dtype=Y.dtype)],
             axis=1)
     Qbuf = jnp.zeros_like(Y)
+    step = _panel_step_cqr if cholqr else _panel_step
     for j in range(0, k + pad, panel):
         Yj = jax.lax.dynamic_slice(Y, (0, j), (n, panel))
-        Qbuf = _panel_step(Qbuf, Yj, j)
+        Qbuf = step(Qbuf, Yj, j)
     return Qbuf[:, :k] if pad else Qbuf
 
 
 def _ortho_cols(Y):
-    """Orthonormalization dispatch: direct Householder QR when narrow,
-    panel-blocked BCGS2 when the QR would not compile/fit on this backend."""
-    return _qr_q(Y) if Y.shape[1] <= _PANEL_QR_MAX_DIRECT else _panel_qr(Y)
+    """Orthonormalization dispatch.
+
+    Fast path: CholeskyQR2 (whole-block when narrow, BCGS2 panels when
+    wide).  A rank-deficient block makes CholQR emit NaN columns; the ONE
+    host check per call catches that and reruns through the Householder
+    path, which completes deficient directions with arbitrary orthonormal
+    ones (harmless inside a (near-)degenerate eigenspace -- the coupling
+    gate downstream catches the harmful case)."""
+    k = Y.shape[1]
+    Q = _cholqr2(Y) if k <= _PANEL else _panel_qr(Y, cholqr=True)
+    if bool(jnp.isfinite(jnp.sum(Q[0]) + jnp.sum(Q[-1]))):
+        return Q
+    return _qr_q(Y) if k <= _PANEL_QR_MAX_DIRECT else _panel_qr(
+        Y, cholqr=False)
 
 
 def _orthonormal_range(P, k, seed, refine: int = 1):
@@ -276,12 +302,6 @@ def _orthonormal_range(P, k, seed, refine: int = 1):
     for _ in range(refine):
         Q = _ortho_cols(jnp.dot(P, Q, precision=_HI))
     return Q
-
-
-@jax.jit
-def _rayleigh_block(A, V):
-    AV = jnp.dot(A, V, precision=_HI)
-    return jnp.dot(V.T, AV, precision=_HI)
 
 
 @partial(jax.jit, static_argnames=("m",))
@@ -345,14 +365,17 @@ def _eigh_small(A) -> Tuple[jnp.ndarray, jnp.ndarray]:
         # bounded bucket set: a cold compile of the built-in eigh costs
         # ~minutes on the remote compile service (8,192 measured at 311 s,
         # then ~1 s warm from the persistent cache), so the set of distinct
-        # executables stays small -- but eigh cost is cubic in the bucket,
-        # so above 4,096 the granularity drops to 2,048 steps
-        # ({1024, 2048, 4096, 6144, 8192}): a ~4,800 split half no longer
-        # pays the full 8,192 leaf (measured ~5x flops waste)
+        # executables stays small -- but eigh cost is CUBIC in the bucket,
+        # so above 4,096 the granularity is 1,024 steps
+        # ({5120, 6144, 7168, 8192}): a 4,800 half in the old 6,144 bucket
+        # paid 2.1x its flops, and both mid leaves of the bench's 16,384
+        # Gram land in the same 5,120 bucket (one compile, ~4 s saved warm)
         if r <= 2048:
             m = 1024 if r <= 1024 else 2048
         else:
-            m = ((r + 2047) // 2048) * 2048
+            m = ((r + 1023) // 1024) * 1024
+            if m == 3072:
+                m = 4096  # keep the legacy small-bucket set sparse
         m = min(m, DIRECT_EIGH_MAX)
     else:
         m = r
@@ -365,10 +388,17 @@ def eigh_dc(
     max_block: int = DIRECT_EIGH_MAX,
     seed: int = 0,
     _depth: int = 0,
+    _scale0: float = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full symmetric eigendecomposition (ascending), any size, on device.
 
     ``max_block``: largest subproblem handed to the built-in eigh.
+    ``_scale0``: the ROOT matrix magnitude, threaded through the recursion
+    -- the coupling gate measures against it, because the f32 noise floor
+    of the split is set by the original matrix, not the (smaller) deep
+    blocks: a depth-1 gate relative to the local scale retried twice per
+    call on couplings that were already at the root-relative target
+    (measured: 2x ~2 s of wasted warm range finds per level).
     Returns device arrays (ev (n,), U (n, n)).
     """
     import os
@@ -419,9 +449,23 @@ def eigh_dc(
         boost = 1.0
         for _ in range(4):
             S = _shift_scale(A, jnp.float32(sigma), key, jnp.float32(boost))
-            for a, b, c in _SIGN_SCHEDULE:
-                S = _sign_step(S, jnp.float32(a), jnp.float32(b),
-                               jnp.float32(c))
+            # fused-residual schedule: each step also returns the residual
+            # of its INPUT for free (read off the X^2 it computes anyway).
+            # In the Newton-Schulz tail a converged input means the
+            # remaining tail rows are no-ops up to roundoff -- skip them
+            # (each skipped row is 3 full-size HIGHEST GEMMs).
+            n_sched = 0
+            for irow, (a, b, c) in enumerate(_SIGN_SCHEDULE):
+                S, r_in = _sign_step(S, jnp.float32(a), jnp.float32(b),
+                                     jnp.float32(c))
+                n_sched += 1
+                # start checking once the aggressive quintic block is done
+                # (row 7): each skipped row is 3 full-size HIGHEST GEMMs,
+                # each check one ~34 ms scalar pull
+                if irow >= 7 and irow < len(_SIGN_SCHEDULE) - 1:
+                    r_h = float(r_in)
+                    if not np.isfinite(r_h) or r_h < 1.5e-2:
+                        break
             # polish until converged (an eigenvalue close to sigma -- or a
             # boosted scale -- slows the contraction).  A degenerate block
             # (everything == sigma) never converges; its pseudo-projector
@@ -433,20 +477,28 @@ def eigh_dc(
             # downstream guards correctness.  Rounds that stop improving
             # the residual by >=1.5x are wasted 16,384-sized GEMMs
             # (measured round 4: a stall-blind 10-round polish was a major
-            # part of a 753 s depth-0 sign that needs ~16 s).
+            # part of a 753 s depth-0 sign that needs ~16 s).  The fused
+            # residual makes each round ONE 3-GEMM step instead of
+            # 3 steps + a residual GEMM.
             n_polish = 0
             prev_resid = np.inf
             for _ in range(10):
-                resid = float(_sign_residual(S))
-                if not np.isfinite(resid) or resid < 3e-2:
+                S_new, r_in = _sign_step(S, jnp.float32(1.5),
+                                         jnp.float32(-0.5), jnp.float32(0.0))
+                resid = float(r_in)  # residual of S BEFORE this NS step
+                if not np.isfinite(resid):
+                    S = S_new
+                    break
+                if resid < 3e-2:
+                    # input already converged; one extra NS only sharpens
+                    S = S_new
                     break
                 if resid > prev_resid / 1.5:
+                    S = S_new
                     break  # stalled: non-convergent near-sigma modes
                 prev_resid = resid
                 n_polish += 1
-                for _ in range(3):
-                    S = _sign_step(S, jnp.float32(1.5), jnp.float32(-0.5),
-                                   jnp.float32(0.0))
+                S = S_new
             if np.isfinite(float(_sign_residual(S))):
                 break
             if verbose:
@@ -455,7 +507,8 @@ def eigh_dc(
             boost *= 4.0
         if verbose:
             print(f"[eigh_dc] n={n} depth={_depth} attempt={attempt} "
-                  f"sigma={sigma:.4g} boost={boost} polish={n_polish} "
+                  f"sigma={sigma:.4g} boost={boost} sched={n_sched} "
+                  f"polish={n_polish} "
                   f"{_t.time()-t_att:.1f}s", flush=True)
         P_lo, tr = _projector_rank(S)
         tr_f = float(tr)
@@ -484,60 +537,88 @@ def eigh_dc(
 
     del S  # n^2 sign iterate: dead past the projector
     t_sub = _t.time()
-    # range finding with a coupling-gated retry: a square Gaussian sample
-    # restricted to range(P) can draw ill-conditioned (cond grows ~rank for
-    # square Ginibre), which leaves junk directions one refine pass cannot
-    # purge -- observed as a 30x eigenvector-residual regression on one
-    # seed.  refine=2 (GEMM-cheap) plus fresh-seed retries on a tight
-    # coupling gate makes the split robust to the draw.
-    P_hi = jnp.eye(n, dtype=A.dtype) - P_lo
+    # Range finding with a coupling-gated retry.  V_lo comes from
+    # randomized range finding on the projector; V_hi is the orthonormal
+    # COMPLEMENT of span(V_lo) (two projection sweeps of a fresh Gaussian
+    # block + CholQR2) -- for an exact spectral projector the complement
+    # IS range(P_hi), so the P_hi multiplications the old path paid are
+    # pure waste, and the coupling gate still validates the split.
+    # Rayleigh blocks and the coupling come from ONE stacked pencil
+    # M = [V_lo V_hi]' A [V_lo V_hi]: two full-size GEMMs replace the
+    # separate coupling GEMM + two Rayleigh products.
+    # Retry policy: attempt 0 runs refine=1 (cheap); a failed gate retries
+    # once with refine=2 and a fresh seed.  A third identical retry never
+    # helped (measured: stalled coupling comes from projector leakage when
+    # sigma sits in a dense spectral bulk -- fresh draws cannot fix it,
+    # and the leaked mass is small enough for the 2e-2 acceptance below).
     scale = float(jnp.max(jnp.abs(A))) + 1e-30
+    if _scale0 is None:
+        _scale0 = scale
+    gate = max(scale, _scale0)
     coupling = np.inf
-    for rtry in range(3):
+    best = None
+    for rtry in range(2):
         V_lo = _orthonormal_range(
             P_lo, r_lo, seed=seed * 7919 + 13 + _depth + 1000 * rtry,
-            refine=2)
-        V_hi = _orthonormal_range(
-            P_hi, n - r_lo, seed=seed * 7919 + 101 + _depth + 1000 * rtry,
-            refine=2)
-        # one Gram-Schmidt sweep of V_hi against V_lo keeps the combined
-        # basis orthonormal to f32 roundoff even when the projector leaked
+            refine=1 + rtry)
+        Z = jax.random.normal(
+            jax.random.PRNGKey((seed * 7919 + 101 + _depth + 1000 * rtry)
+                               & 0x7FFFFFFF),
+            (n, n - r_lo), dtype=jnp.float32)
+        V_hi = _ortho_cols(_project_out(V_lo, Z))
+        del Z
         V_hi = _ortho_cols(_project_out(V_lo, V_hi))
-        # validation: the two bases must (nearly) decouple A, else the
-        # split was not invariant and results would be silently wrong
-        AV_lo = jnp.dot(A, V_lo, precision=_HI)
-        coupling = float(jnp.max(jnp.abs(
-            jnp.dot(V_hi.T, AV_lo, precision=_HI))))
-        if np.isfinite(coupling) and coupling <= 2e-3 * scale:
+        U_split = jnp.concatenate([V_lo, V_hi], axis=1)
+        AV = jnp.dot(A, U_split, precision=_HI)
+        M = jnp.dot(U_split.T, AV, precision=_HI)
+        del AV, U_split
+        coupling = float(jnp.max(jnp.abs(M[r_lo:, :r_lo])))
+        # accept below 8e-3*gate without retrying: a fresh-draw retry on a
+        # marginal coupling costs a full range find and consistently fails
+        # to improve (measured at 16,384: 6.35e-3 -> 5.64e-3 across two
+        # draws -- the leakage is the projector's, not the draw's), while
+        # final eigenvector residuals stay at the f32 floor (8.6e-5
+        # relative) well below the test gates
+        if np.isfinite(coupling) and coupling <= 8e-3 * gate:
+            best = (coupling, M, V_lo, V_hi)
             break
+        if best is None or (np.isfinite(coupling)
+                            and coupling < best[0]):
+            best = (coupling, M, V_lo, V_hi)
+        # drop the local references NOW: holding a non-best candidate's
+        # full-size pencil + bases across the next attempt (or into the
+        # recursion, via the leaked `best` alias) OOMs the leaf eigh,
+        # whose scratch alone is ~30 * 8192^2 floats
+        del M, V_lo, V_hi
         if verbose:
             print(f"[eigh_dc] n={n} depth={_depth} retry range "
                   f"(coupling {coupling:.2e})", flush=True)
-    del P_lo, P_hi
-    if not np.isfinite(coupling) or coupling > 2e-2 * scale:
+    coupling, M, V_lo, V_hi = best
+    del best
+    del P_lo
+    if not np.isfinite(coupling) or coupling > 2e-2 * gate:
         raise RuntimeError(
             f"eigh_dc: subspace split left coupling {coupling:.2e} "
             f"(scale {scale:.2e}); falling back to a dense eigh is required")
     if verbose:
-        print(f"[eigh_dc] n={n} depth={_depth} ranges+coupling "
+        print(f"[eigh_dc] n={n} depth={_depth} ranges+pencil+coupling "
               f"{coupling:.2e} {_t.time()-t_sub:.1f}s", flush=True)
-        t_sub = _t.time()
-    A_lo = jnp.dot(V_lo.T, AV_lo, precision=_HI)
-    A_hi = _rayleigh_block(A, V_hi)
-    if verbose:
-        float(jnp.sum(A_lo[0]) + jnp.sum(A_hi[0]))
-        print(f"[eigh_dc] n={n} depth={_depth} rayleigh "
-              f"{_t.time()-t_sub:.1f}s", flush=True)
+    # symmetrized diagonal blocks of the pencil are the Rayleigh blocks
+    A_lo = 0.5 * (M[:r_lo, :r_lo] + M[:r_lo, :r_lo].T)
+    A_hi = 0.5 * (M[r_lo:, r_lo:] + M[r_lo:, r_lo:].T)
     # every n^2 buffer that is dead across the recursion must be freed NOW:
     # recursion frames stack, and the leaf's built-in eigh alone needs
     # ~30 m^2 floats of HBM scratch (OOM observed at n=16,384 without this)
-    del AV_lo
-    ev_lo, U_lo = eigh_dc(A_lo, max_block, seed + 1, _depth + 1)
+    del M
+    ev_lo, U_lo = eigh_dc(A_lo, max_block, seed + 1, _depth + 1, _scale0)
     del A_lo
-    ev_hi, U_hi = eigh_dc(A_hi, max_block, seed + 2, _depth + 1)
-    del A_hi
+    # back-transform the low block BEFORE recursing on the high one: V_lo
+    # and U_lo together hold ~n*r_lo + r_lo^2 floats that the second
+    # recursion's leaf eigh (scratch ~30 * 8192^2 floats) does not need
     B_lo = _back_transform(V_lo, U_lo)
     del V_lo, U_lo
+    ev_hi, U_hi = eigh_dc(A_hi, max_block, seed + 2, _depth + 1, _scale0)
+    del A_hi
     B_hi = _back_transform(V_hi, U_hi)
     del V_hi, U_hi
     U = jnp.concatenate([B_lo, B_hi], axis=1)

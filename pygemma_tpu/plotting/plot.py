@@ -33,16 +33,31 @@ def manhattan_plot(
     title: Optional[str] = None,
     interactive: bool = False,
     ax=None,
+    scale: str = "log",
+    cmap=None,
+    use_seaborn: bool = False,
 ):
     """Manhattan plot; ``df`` is the association DataFrame.
 
     cutoff: "bonferroni" (0.05/p), "gw" (5e-8) or a fixed -log10 value
     (reference plotting/plot.py:87-104).
+    scale: "log" plots -log10(p); "linear" plots raw p with the cutoff
+    left on the p scale (reference plotting/plot.py:20,:49-52).
+    cmap: per-chromosome color cycle -- a list of colors or a named
+    matplotlib colormap; None keeps the default two-tone cycle
+    (reference plotting/plot.py:22 used the seaborn palette).
+    use_seaborn: apply seaborn's default style/palette when seaborn is
+    installed (reference styled every plot through sns.scatterplot).
     """
     p = np.asarray(df[pval_col], dtype=float)
     m = np.isfinite(p) & (p > 0)
     logp = np.full(p.shape, np.nan)
-    logp[m] = -np.log10(p[m])
+    if scale == "log":
+        logp[m] = -np.log10(p[m])
+    elif scale in ("linear", None):
+        logp[m] = p[m]
+    else:
+        raise ValueError(f"invalid scale {scale!r} (use 'log' or 'linear')")
 
     if chrom_col in getattr(df, "columns", []):
         chrom = np.asarray(df[chrom_col])
@@ -56,11 +71,14 @@ def manhattan_plot(
         pos = np.arange(len(p), dtype=float)
 
     if cutoff == "bonferroni":
-        thr = -np.log10(0.05 / max(m.sum(), 1))
+        alpha = 0.05 / max(m.sum(), 1)
     elif cutoff == "gw":
-        thr = -np.log10(5e-8)
+        alpha = 5e-8
     else:
-        thr = float(cutoff)
+        # a number is a -log10 threshold on the log scale (back-compat) and
+        # a raw p cutoff on the linear scale
+        alpha = 10.0 ** (-float(cutoff)) if scale == "log" else float(cutoff)
+    thr = -np.log10(alpha) if scale == "log" else alpha
 
     if interactive:
         beta = (np.asarray(df["beta"], float)
@@ -71,21 +89,37 @@ def manhattan_plot(
                                  beta=beta, snp_names=snp_names)
 
     plt = _mpl()
+    if use_seaborn:
+        try:
+            import seaborn as sns
+
+            sns.set_theme()
+            if cmap is None:
+                cmap = list(sns.color_palette())
+        except ImportError:
+            pass
     own_fig = ax is None
     if own_fig:
         fig, ax = plt.subplots(figsize=(12, 4))
     offset = 0.0
     uniq = list(dict.fromkeys(chrom.tolist()))
-    colors = ["#4C72B0", "#55A868"]
+    if cmap is None:
+        colors = ["#4C72B0", "#55A868"]
+    elif isinstance(cmap, str):
+        cm = plt.get_cmap(cmap)
+        colors = [cm(i / max(len(uniq) - 1, 1)) for i in range(len(uniq))]
+    else:
+        colors = list(cmap)
     for i, ch in enumerate(uniq):
         sel = chrom == ch
         order = np.argsort(pos[sel])
         xs = offset + np.arange(sel.sum(), dtype=float)
-        ax.scatter(xs, logp[sel][order], s=4, c=colors[i % 2], rasterized=True)
+        ax.scatter(xs, logp[sel][order], s=4,
+                   c=[colors[i % len(colors)]], rasterized=True)
         offset += sel.sum()
     ax.axhline(thr, color="red", ls="--", lw=1)
     ax.set_xlabel("position")
-    ax.set_ylabel(r"$-\log_{10}(p)$")
+    ax.set_ylabel(r"$-\log_{10}(p)$" if scale == "log" else r"$p$")
     if title:
         ax.set_title(title)
     if save_path and own_fig:

@@ -193,6 +193,20 @@ def test_plotting_smoke(tmp_path, rng):
     qq_plot(df["p_wald"], save_path=str(tmp_path / "qq.png"))
     assert os.path.exists(tmp_path / "mh.png")
     assert os.path.exists(tmp_path / "qq.png")
+    # reference option parity (reference plotting/plot.py:15-22): linear
+    # scale plots raw p with the cutoff left on the p scale; cmap cycles
+    # per chromosome; seaborn styling is optional
+    ax = manhattan_plot(df, scale="linear", cutoff=0.01,
+                        save_path=str(tmp_path / "mh_lin.png"))
+    assert ax.get_ylabel() == r"$p$"
+    manhattan_plot(df, cmap="viridis",
+                   save_path=str(tmp_path / "mh_cmap.png"))
+    manhattan_plot(df, cmap=["#123456", "#654321"], use_seaborn=True,
+                   save_path=str(tmp_path / "mh_sns.png"))
+    assert os.path.exists(tmp_path / "mh_lin.png")
+    assert os.path.exists(tmp_path / "mh_cmap.png")
+    with pytest.raises(ValueError):
+        manhattan_plot(df, scale="sqrt")
 
 
 def test_plotting_interactive(tmp_path, rng):
