@@ -166,7 +166,12 @@ def cmd_run(args):
         reps = len(df) // len(chrom)
         df["chrom"] = np.tile(chrom, reps)
         df["pos"] = np.tile(pos, reps)
-    df.to_csv(args.out, sep="\t", index=False)
+    if args.out_format == "gemma":
+        from .io.gemma_format import write_gemma_assoc
+
+        write_gemma_assoc(df, args.out)
+    else:
+        df.to_csv(args.out, sep="\t", index=False)
     from .preprocess import genomic_control_lambda
 
     print(f"wrote {args.out} ({len(df)} rows) in {time.time()-t0:.1f}s; "
@@ -237,6 +242,10 @@ def main(argv=None):
     r.add_argument("--run-dir", help="checkpoint/resume directory")
     r.add_argument("--verbose", type=int, default=1)
     r.add_argument("--out", default="assoc.tsv")
+    r.add_argument("--out-format", default="tsv", choices=("tsv", "gemma"),
+                   help="'gemma' writes the GEMMA .assoc.txt schema "
+                        "(chr rs ps ... p_wald p_lrt p_score) so existing "
+                        "GEMMA-output parsers keep working")
     r.set_defaults(func=cmd_run)
 
     pl = sub.add_parser("plot", help="plot association results")

@@ -5,3 +5,4 @@ from .rawbin import read_rawbin, write_rawbin, read_eigenvalues  # noqa: F401
 from .streaming import SnpBlockStreamer  # noqa: F401
 from .packed import PackedMatrix, write_rawbin_2bit  # noqa: F401
 from .quantized import QuantizedMatrix, write_rawbin_i8  # noqa: F401
+from .gemma_format import write_gemma_assoc  # noqa: F401
