@@ -339,6 +339,36 @@ def pygemma(
         eigh_fn = sharded_eigh_fn(mesh, cfg)
         xb_sharding = snp_sharding(mesh, cfg.snp_axis)
 
+    # --- overlap genotype transfer with the eigendecomposition ------------
+    # When the device-resident packed-block cache is enabled AND
+    # PYGEMMA_TPU_PREFETCH_OVERLAP=1, a background thread ships the 2-bit
+    # blocks over the host->device link WHILE the kinship eigh runs on the
+    # chip (puts only, no device compute contended); the scan then reads
+    # from HBM.  OPT-IN because it assumes transfers do not stall device
+    # control traffic -- true for directly-attached TPUs (DMA engines),
+    # FALSE for this environment's tunneled backend, where the bulk
+    # transfer queues ahead of the host-driven eigh's latency-critical
+    # scalar pulls (measured: 20k end-to-end 36.9 s -> 84.3 s with the
+    # overlap forced on).
+    prefill_thread = prefill_stop = None
+    if mesh is None and isinstance(X, PackedMatrix):
+        import os as _os
+
+        from .io.streaming import _cache_budget_bytes, prefill_device_cache
+
+        if (_os.environ.get("PYGEMMA_TPU_PREFETCH_OVERLAP", "0") == "1"
+                and _cache_budget_bytes() > 0
+                and getattr(X, "cache_token", None) is not None):
+            import threading
+
+            prefill_stop = threading.Event()
+            prefill_thread = threading.Thread(
+                target=prefill_device_cache,
+                args=(X, min(cfg.snp_block, max(p, 1)), prefill_stop),
+                daemon=True,
+            )
+            prefill_thread.start()
+
     ckpt = None
     eig_key = ""
     if eigen and K is not None and not isinstance(K, jax.Array):
@@ -504,6 +534,9 @@ def pygemma(
             X, Y_dev, W_dev, ev_dev, U_dev, cfg, de, n, p, B, log,
             ckpt, mesh, xb_sharding, rot_fn, assoc_fn, impl,
         )
+    if prefill_thread is not None:
+        prefill_stop.set()  # abandon any leftover blocks past the budget
+        prefill_thread.join(timeout=30.0)
     results_df = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
     if snps is not None:
         results_df["SNPs"] = (

@@ -46,6 +46,46 @@ def clear_device_block_cache() -> None:
     _DEV_BLOCK_CACHE_BYTES[0] = 0
 
 
+def prefill_device_cache(X, block: int, stop=None) -> int:
+    """Ship a PackedMatrix's 2-bit blocks into the device cache WITHOUT
+    dequantizing (puts only -- no device compute contended).
+
+    Called from a background thread by the driver so the genotype
+    transfer rides the otherwise-idle host->device link WHILE the kinship
+    eigendecomposition runs on the chip: at 20k x 100k that overlaps the
+    whole ~7 s tunnel cost of the scan with the ~27 s eigh.  Safe to race
+    with the consuming scan: both sides compute identical cache entries,
+    and a missed key just falls back to the scan's own transfer.
+    ``stop``: optional threading.Event to abandon leftover work.
+    Returns the number of blocks shipped."""
+    budget = _cache_budget_bytes()
+    if budget <= 0 or getattr(X, "cache_token", None) is None:
+        return 0
+    n_put = 0
+    p = X.shape[1]
+    for start in range(0, p, block):
+        if stop is not None and stop.is_set():
+            break
+        stop_col = min(start + block, p)
+        key = (X.cache_token, start, stop_col, block)
+        if key in _DEV_BLOCK_CACHE:
+            continue
+        g, mu, sd = X.quant_block(start, stop_col)
+        pad = block - (stop_col - start)
+        if pad:
+            g = np.pad(g, ((0, 0), (0, pad)))
+            mu = np.pad(mu, (0, pad))
+            sd = np.pad(sd, (0, pad), constant_values=1.0)
+        nbytes = g.nbytes + mu.nbytes + sd.nbytes
+        if _DEV_BLOCK_CACHE_BYTES[0] + nbytes > budget:
+            break
+        _DEV_BLOCK_CACHE[key] = (jax.device_put(g), jax.device_put(mu),
+                                 jax.device_put(sd))
+        _DEV_BLOCK_CACHE_BYTES[0] += nbytes
+        n_put += 1
+    return n_put
+
+
 class SnpBlockStreamer:
     """Iterate (start, stop, device_block) with one-block prefetch.
 
@@ -129,7 +169,11 @@ class SnpBlockStreamer:
             gd = self._put(g)
             mud = self._put(mu, vec=True)
             sdd = self._put(sd, vec=True)
-            if key is not None:
+            if key is not None and key not in _DEV_BLOCK_CACHE:
+                # recheck before inserting: a concurrent prefill thread may
+                # have stored this key after the lookup above, and a
+                # double insert double-counts the byte budget (measured: a
+                # half-covered cache that silently re-streams the rest)
                 nbytes = g.nbytes + mu.nbytes + sd.nbytes
                 if _DEV_BLOCK_CACHE_BYTES[0] + nbytes <= _cache_budget_bytes():
                     _DEV_BLOCK_CACHE[key] = (gd, mud, sdd)

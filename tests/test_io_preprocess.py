@@ -357,6 +357,55 @@ def test_packed_matrix_host_and_device_paths(tmp_path, rng):
     np.testing.assert_allclose(Q2[:, :], Xs, atol=2e-5)
 
 
+def test_device_block_cache_and_prefill(tmp_path, rng, monkeypatch):
+    """Device-resident packed-block cache: prefill ships every block once
+    (no dequantization), the streamer then serves identical blocks from
+    the cache, and the budget bounds insertion."""
+    from pygemma_tpu.io import streaming
+    from pygemma_tpu.io.packed import PackedMatrix, write_rawbin_2bit
+
+    n, p, B = 24, 40, 16
+    G = rng.integers(0, 3, size=(n, p)).astype(np.uint8)
+    Q0 = PackedMatrix.from_codes(G)
+    prefix = str(tmp_path / "pc")
+    write_rawbin_2bit(prefix, G, Q0.mu, Q0.sd)
+    Q = PackedMatrix.open_rawbin(prefix)
+    assert Q.cache_token and prefix in Q.cache_token
+
+    ref = np.concatenate(
+        [np.asarray(b[2]) for b in SnpBlockStreamer(Q, block=B)],
+        axis=1)[:, :p]
+
+    monkeypatch.setenv("PYGEMMA_TPU_GENO_DEV_CACHE_MB", "64")
+    streaming.clear_device_block_cache()
+    try:
+        n_put = streaming.prefill_device_cache(Q, B)
+        assert n_put == (p + B - 1) // B
+        assert len(streaming._DEV_BLOCK_CACHE) == n_put
+        # second prefill is a no-op (all keys present)
+        assert streaming.prefill_device_cache(Q, B) == 0
+        # the streamer serves the cached blocks bit-identically
+        hit = np.concatenate(
+            [np.asarray(b[2]) for b in SnpBlockStreamer(Q, block=B)],
+            axis=1)[:, :p]
+        np.testing.assert_array_equal(hit, ref)
+        # a cols() view gets distinct keys (offset in the token)
+        sub = Q.cols(16, 40)
+        assert sub.cache_token != Q.cache_token
+        streaming.prefill_device_cache(sub, B)
+        hit2 = np.concatenate(
+            [np.asarray(b[2]) for b in SnpBlockStreamer(sub, block=B)],
+            axis=1)[:, : p - 16]
+        np.testing.assert_array_equal(hit2, ref[:, 16:])
+        # zero budget disables caching entirely
+        monkeypatch.setenv("PYGEMMA_TPU_GENO_DEV_CACHE_MB", "0")
+        streaming.clear_device_block_cache()
+        assert streaming.prefill_device_cache(Q, B) == 0
+        assert not streaming._DEV_BLOCK_CACHE
+    finally:
+        streaming.clear_device_block_cache()
+
+
 def test_packed_bed_coding_streams_verbatim(tmp_path, rng):
     """open_bed wraps a PLINK fileset: raw bed bytes decode on device to the
     same standardized matrix the host reader produces."""

@@ -97,6 +97,20 @@ for col in ("beta", "se_beta", "tau", "lambda", "p_wald", "p_lrt",
     np.testing.assert_allclose(
         np.asarray(df[col]), np.asarray(df_ref[col]), rtol=1e-8, atol=1e-12,
         err_msg=col)
+
+# the production path too: implicit low-rank kinship under the same
+# multi-process mesh (sharded implicit prep/assoc shard_map programs,
+# replicated (n, p_k) top basis)
+from pygemma_tpu.core.lowrank import LowRankKinship
+
+lrk = LowRankKinship(X[:, :16], eps=1e-3)
+cfg_i = GwasConfig(dtype="float64", snp_block=8, eigh_backend="host")
+df_i = pygemma(y, X, W, lrk, config=cfg_i, mesh=mesh)
+df_ir = pygemma(y, X, W, lrk, config=cfg_i)
+for col in ("beta", "se_beta", "lambda", "p_wald"):
+    np.testing.assert_allclose(
+        np.asarray(df_i[col]), np.asarray(df_ir[col]), rtol=1e-8,
+        atol=1e-12, err_msg="implicit " + col)
 with open(os.path.join(outdir, f"drv_ok_{pid}"), "w") as f:
     f.write("ok")
 """
