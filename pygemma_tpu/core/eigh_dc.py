@@ -105,7 +105,7 @@ _SIGN_PREC = jax.lax.Precision.HIGHEST
 
 @jax.jit
 def _sign_step(X, a, b, c):
-    """One polynomial sign step PLUS the convergence residual of the INPUT,
+    """One quintic sign step PLUS the convergence residual of the INPUT,
     read off the X^2 that the step computes anyway -- so monitoring
     convergence costs zero extra GEMMs (a separate residual check was one
     full n^3 GEMM per polish round)."""
@@ -114,6 +114,19 @@ def _sign_step(X, a, b, c):
     X5 = jnp.dot(X3, X2, precision=_SIGN_PREC)
     resid_in = jnp.max(jnp.abs(X2 - jnp.eye(X.shape[0], dtype=X.dtype)))
     return a * X + b * X3 + c * X5, resid_in
+
+
+@jax.jit
+def _sign_step_ns(X, a, b):
+    """Cubic (Newton-Schulz) step in TWO GEMMs via Horner:
+    aX + bX^3 = X (aI + b X^2).  The generic quintic step spends three
+    full-size GEMMs; the schedule's leading/tail NS rows and every polish
+    round only need the cubic, so this saves one n^3 HIGHEST GEMM each."""
+    n = X.shape[0]
+    X2 = jnp.dot(X, X, precision=_SIGN_PREC)
+    resid_in = jnp.max(jnp.abs(X2 - jnp.eye(n, dtype=X.dtype)))
+    Z = a * jnp.eye(n, dtype=X.dtype) + b * X2
+    return jnp.dot(X, Z, precision=_SIGN_PREC), resid_in
 
 
 @jax.jit
@@ -132,13 +145,24 @@ def _ritz_sketch(A, Om):
 
 
 def _spectral_quantile(A, q, seed, k: int = 512):
-    """Estimate the q-quantile of A's spectrum from the Ritz values of a
-    random k-dim subspace (generalized eigenproblem solved on host at k^2).
+    """Estimate a split point near the q-quantile of A's spectrum from the
+    Ritz values of a random k-dim subspace (generalized eigenproblem
+    solved on host at k^2).
 
     The diagonal of a correlation-like matrix is nearly constant and says
     nothing about the spectral BULK, so a diagonal-median split lands far
     from the half-rank point and forces an extra recursion level; bulk
-    Ritz quantiles track the true spectral quantiles well."""
+    Ritz quantiles track the true spectral quantiles well.
+
+    GAP PREFERENCE: when a pronounced spectral gap exists near the target
+    quantile, sigma is placed at ITS midpoint instead of the raw quantile.
+    A sigma INSIDE a (near-)degenerate cluster stalls the sign iteration
+    on the whole cluster (eigenvalues AT sigma have no sign), and the
+    resulting pseudo-projector can mix one cluster direction into the
+    wrong Rayleigh block -- observed as a single eigenvalue off ~100x on
+    K = GG'/p + eps I with n > p, whose eps eigenvalue is (n - p)-fold
+    degenerate and spans the median.  Continuous bulks (MP-law Grams)
+    have no dominant gap and keep the plain quantile."""
     import scipy.linalg
 
     n = A.shape[0]
@@ -157,7 +181,28 @@ def _spectral_quantile(A, q, seed, k: int = 512):
         ritz = scipy.linalg.eigh(Hh, Bh, eigvals_only=True)
     except Exception:
         return None
-    return float(np.quantile(ritz, q))
+    target = float(np.quantile(ritz, q))
+    # DEGENERACY SNAP: if the target sits inside a tie cluster of Ritz
+    # values (a (near-)degenerate eigenvalue, e.g. the (n-p)-fold eps of
+    # K = GG'/p + eps I), move sigma to the midpoint of the larger
+    # adjacent gap -- a sigma AT the degenerate value stalls the sign
+    # iteration on the whole cluster and the pseudo-projector can mix one
+    # cluster direction into the wrong Rayleigh block (observed: one
+    # eigenvalue off ~100x).  Continuous bulks never form such ties.
+    spread = float(ritz[-1] - ritz[0]) + 1e-300
+    tol = 1e-4 * spread
+    lo = int(np.searchsorted(ritz, target - tol, side="left"))
+    hi = int(np.searchsorted(ritz, target + tol, side="right"))
+    if hi - lo > max(3, int(0.02 * k)):
+        below = float(ritz[lo] - ritz[lo - 1]) if lo > 0 else -np.inf
+        above = float(ritz[hi] - ritz[hi - 1]) if hi < k else -np.inf
+        if above >= below and np.isfinite(above):
+            return float(0.5 * (ritz[hi - 1] + ritz[hi]))
+        if np.isfinite(below):
+            return float(0.5 * (ritz[lo - 1] + ritz[lo]))
+        # the tie spans the whole sketch: a (near-)multiple of identity;
+        # the caller's forced half-split handles it exactly
+    return target
 
 
 @jax.jit
@@ -359,6 +404,126 @@ def _back_transform(V, Usub):
     return jnp.dot(V, Usub, precision=_HI)
 
 
+@jax.jit
+def _pair_residuals(A, U, ev):
+    """Per-eigenpair residual norms ||A u_i - ev_i u_i||_2 and Rayleigh
+    quotients, from ONE full GEMM.
+
+    The residual matrix is materialized and normed directly: the
+    algebraically equivalent ||AU||^2 - 2 ev d + ev^2 cancels
+    catastrophically in f32 (measured: s ~ 1e-2 noise on an EXACT
+    eigenbasis of 3.5*I, falsely triggering the repair)."""
+    AU = jnp.dot(A, U, precision=_HI)
+    d = jnp.sum(U * AU, axis=0)
+    R = AU - U * ev[None, :]
+    return jnp.sqrt(jnp.sum(R * R, axis=0)), d, AU
+
+
+def _residual_repair(A, ev, U, verbose=False, tol_rel=2e-3, max_bad=512,
+                     rounds: int = 8):
+    prev = np.inf
+    for r in range(rounds):
+        ev, U, fixed, s_max = _residual_repair_once(
+            A, ev, U, verbose, tol_rel, max_bad)
+        if fixed:
+            return ev, U
+        if verbose:
+            print(f"[eigh_dc] residual repair round {r}: "
+                  f"max resid {s_max:.2e}", flush=True)
+        if s_max > prev / 1.3:
+            # a round that does not contract means the defect's partner
+            # mass exceeds the repair span (or it is not a mixture at
+            # all); further identical rounds are pure waste
+            if verbose:
+                print("[eigh_dc] residual repair stalled -- keeping the "
+                      "best-effort basis", flush=True)
+            return ev, U
+        prev = s_max
+    return ev, U
+
+
+def _residual_repair_once(A, ev, U, verbose=False, tol_rel=2e-3,
+                          max_bad=512):
+    """Validate every eigenpair and repair mixed directions.
+
+    The D&C can very occasionally assign a direction that mixes two true
+    eigenspaces while every split-level coupling check stays clean (the
+    mixture's pieces live inside ONE side's span -- observed on a matrix
+    with an (n-p)-fold degenerate eigenvalue crossing the split quantile:
+    one eigenvalue off ~100x).  Mixtures are invisible to coupling but
+    LOUD in the per-pair residual ||A u - ev u||; and they come in closed
+    sets, so re-diagonalizing the Rayleigh block of the flagged columns
+    repairs them exactly within their joint span.  Cost: one n^3 GEMM for
+    the residual sweep (the certificate every call now carries) plus a
+    tiny eigh when something is actually wrong."""
+    s, d, AU = _pair_residuals(A, U, ev)
+    scale = float(jnp.max(jnp.abs(ev))) + 1e-30
+    s_np = np.asarray(s)
+    s_max = float(s_np.max())
+    if s_max <= tol_rel * scale:
+        return ev, U, True, s_max
+    # flag the clearly-elevated residuals (a genuine mixture stands well
+    # above the f32 bulk noise shoulder), then pull in each flagged
+    # column's strongest COUPLING PARTNERS: the mixture's other pieces sit
+    # in columns j with large |(U' A u_bad)_j|, which one (n, k) GEMM
+    # against the AU we already have reads off directly.  The joint span
+    # contains the true eigenvectors, so one small Rayleigh eigh repairs
+    # them exactly.
+    flag = np.where(s_np > max(tol_rel * scale, 0.4 * s_max))[0]
+    flag = flag[np.argsort(-s_np[flag])][:max_bad // 8]
+    # coupling coordinates of each flagged residual over the basis: the
+    # residual r_i = A u_i - ev_i u_i lies entirely in span(U), with
+    # coefficient c_j = (U' A u_i)_j on column j (j != i).  Select
+    # partners until they COVER >= 99.5% of each residual's mass -- a
+    # fixed top-k misses diffuse mixtures (a direction smeared over a
+    # degenerate cluster needs hundreds of partner columns) and then the
+    # in-span re-diagonalization only shaves the defect by ~2x per round.
+    C = np.array(jnp.dot(U.T, AU[:, jnp.asarray(flag)], precision=_HI))
+    C[flag, np.arange(len(flag))] = 0.0  # self rows carry ev, not coupling
+    C2 = C * C
+    # few flagged columns can afford a wide span: the repair block is one
+    # bucketed leaf eigh, so up to 2048 partners stay cheap, and a defect
+    # smeared across a continuous bulk genuinely needs that many
+    cap = max_bad if len(flag) > 4 else 2048
+    sel = set(flag.tolist())
+    for i in range(len(flag)):
+        order_i = np.argsort(-C2[:, i])
+        cum = np.cumsum(C2[order_i, i])
+        total = cum[-1] + 1e-300
+        k_need = int(np.searchsorted(cum, 0.995 * total)) + 1
+        sel.update(order_i[:k_need].tolist())
+        if len(sel) >= cap:
+            break
+    sel = np.sort(np.fromiter(sel, dtype=np.int64))[:cap]
+    cov = float(C2[sel, :].sum() / (C2.sum() + 1e-300))
+    if cov < 0.5:
+        # the residual mass is spread (near-)uniformly over the basis --
+        # not a block mixture an in-span re-diagonalization can fix (a
+        # 2048-wide span was measured to cover 9% on a continuous-bulk
+        # Gram); repairing would burn GEMMs for nothing
+        if verbose:
+            print(f"[eigh_dc] repair span {len(sel)} covers only "
+                  f"{cov:.3f} of the residual mass -- not a repairable "
+                  f"mixture (max resid {s_max:.2e})", flush=True)
+        return ev, U, True, s_max
+    if verbose:
+        print(f"[eigh_dc] repair span {len(sel)} covers {cov:.3f} of the "
+              f"flagged residual mass", flush=True)
+    idx = jnp.asarray(np.sort(sel))
+    Wb = U[:, idx]
+    B = jnp.dot(Wb.T, AU[:, idx], precision=_HI)
+    B = 0.5 * (B + B.T)
+    eb, Q = _eigh_small(B)
+    U = U.at[:, idx].set(jnp.dot(Wb, Q, precision=_HI))
+    ev = ev.at[idx].set(eb)
+    if verbose:
+        print(f"[eigh_dc] residual sweep: repaired {len(flag)} mixed "
+              f"direction(s) in a {len(sel)}-dim span "
+              f"(max resid {s_max:.2e})", flush=True)
+    order = jnp.argsort(ev)
+    return ev[order], U[:, order], False, s_max
+
+
 def _eigh_small(A) -> Tuple[jnp.ndarray, jnp.ndarray]:
     r = A.shape[0]
     if r <= DIRECT_EIGH_MAX:
@@ -456,8 +621,12 @@ def eigh_dc(
             # (each skipped row is 3 full-size HIGHEST GEMMs).
             n_sched = 0
             for irow, (a, b, c) in enumerate(_SIGN_SCHEDULE):
-                S, r_in = _sign_step(S, jnp.float32(a), jnp.float32(b),
-                                     jnp.float32(c))
+                if c == 0.0:  # cubic row: 2 GEMMs instead of 3
+                    S, r_in = _sign_step_ns(S, jnp.float32(a),
+                                            jnp.float32(b))
+                else:
+                    S, r_in = _sign_step(S, jnp.float32(a), jnp.float32(b),
+                                         jnp.float32(c))
                 n_sched += 1
                 # start checking once the aggressive quintic block is done
                 # (row 7): each skipped row is 3 full-size HIGHEST GEMMs,
@@ -483,8 +652,8 @@ def eigh_dc(
             n_polish = 0
             prev_resid = np.inf
             for _ in range(10):
-                S_new, r_in = _sign_step(S, jnp.float32(1.5),
-                                         jnp.float32(-0.5), jnp.float32(0.0))
+                S_new, r_in = _sign_step_ns(S, jnp.float32(1.5),
+                                            jnp.float32(-0.5))
                 resid = float(r_in)  # residual of S BEFORE this NS step
                 if not np.isfinite(resid):
                     S = S_new
@@ -627,7 +796,11 @@ def eigh_dc(
     # ascending across the two blocks (value split guarantees order up to
     # projector leakage; a final argsort makes it exact)
     order = jnp.argsort(ev)
+    ev, U = ev[order], U[:, order]
+    if _depth == 0:
+        # one-GEMM certificate + local repair of any mixed direction
+        ev, U = _residual_repair(A, ev, U, verbose)
     if verbose:
         print(f"[eigh_dc] n={n} depth={_depth} done {_t.time()-t_start:.1f}s",
               flush=True)
-    return ev[order], U[:, order]
+    return ev, U

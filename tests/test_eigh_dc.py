@@ -81,3 +81,25 @@ def test_eigh_dc_negative_and_positive(rng):
     A = (A + A.T) / 2
     ev, U = eigh_dc(A, max_block=48)
     _check(A, ev, U)
+
+
+def test_eigh_dc_degenerate_cluster_spanning_median():
+    """Regression: K = GG'/p + eps I with n > p has an (n-p)-fold
+    degenerate eps eigenvalue; when that cluster spans the split quantile,
+    a sigma INSIDE it stalls the sign iteration and mixed one cluster
+    direction into the wrong Rayleigh block (one eigenvalue off ~100x,
+    first seen at n=2500/p=1200/max_block=1024).  The gap-aware sigma
+    (_spectral_quantile) must place the cut in the cluster/bulk gap."""
+    rng = np.random.default_rng(17)
+    n, p = 2500, 1200
+    G = rng.standard_normal((n, p)).astype(np.float32)
+    A = (G @ G.T / p + 1e-3 * np.eye(n)).astype(np.float32)
+    ev, U = eigh_dc(A, max_block=1024)
+    ev_h = np.asarray(ev)
+    ev_ref = np.linalg.eigvalsh(A.astype(np.float64))
+    scale = np.abs(ev_ref).max()
+    np.testing.assert_allclose(ev_h, ev_ref, rtol=5e-3, atol=5e-4 * scale)
+    U_h = np.asarray(U)
+    np.testing.assert_allclose(U_h.T @ U_h, np.eye(n), atol=1e-3)
+    resid = np.abs(A.astype(np.float64) @ U_h - U_h * ev_h[None, :]).max()
+    assert resid < 5e-3 * scale
