@@ -103,3 +103,40 @@ def test_eigh_dc_degenerate_cluster_spanning_median():
     np.testing.assert_allclose(U_h.T @ U_h, np.eye(n), atol=1e-3)
     resid = np.abs(A.astype(np.float64) @ U_h - U_h * ev_h[None, :]).max()
     assert resid < 5e-3 * scale
+
+
+def test_residual_repair_fixes_planted_mixture():
+    """The per-eigenpair certificate (_residual_repair) must detect and
+    exactly repair a planted rotation between two eigenvector columns --
+    the defect class the D&C can produce when a split stalls on a
+    degenerate cluster (coupling checks stay clean, residuals do not)."""
+    import jax.numpy as jnp
+
+    from pygemma_tpu.core.eigh_dc import _pair_residuals, _residual_repair
+
+    rng = np.random.default_rng(5)
+    n = 256
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    vals = np.sort(rng.uniform(0.5, 4.0, size=n))
+    A = ((Q * vals[None, :]) @ Q.T).astype(np.float32)
+    ev_ref = np.linalg.eigvalsh(A.astype(np.float64))
+    ev0, U0 = np.linalg.eigh(A.astype(np.float64))
+    # plant a 45-degree mixture between two well-separated eigenvectors
+    i, j = 40, 200
+    c = np.cos(np.pi / 4)
+    Um = U0.copy()
+    Um[:, i] = c * U0[:, i] + c * U0[:, j]
+    Um[:, j] = -c * U0[:, i] + c * U0[:, j]
+    evm = jnp.asarray(ev0.astype(np.float32))
+    Um = jnp.asarray(Um.astype(np.float32))
+    s, _, _ = _pair_residuals(jnp.asarray(A), Um, evm)
+    assert float(jnp.max(s)) > 0.1  # the defect is loud in the residual
+    ev_r, U_r = _residual_repair(jnp.asarray(A), evm, Um, verbose=False)
+    ev_rh = np.sort(np.asarray(ev_r))
+    np.testing.assert_allclose(ev_rh, ev_ref, rtol=2e-5,
+                               atol=1e-5 * np.abs(ev_ref).max())
+    U_rh = np.asarray(U_r)
+    np.testing.assert_allclose(U_rh.T @ U_rh, np.eye(n), atol=5e-4)
+    resid = np.abs(A.astype(np.float64) @ U_rh
+                   - U_rh * np.asarray(ev_r)[None, :]).max()
+    assert resid < 2e-4 * np.abs(ev_ref).max()
