@@ -396,13 +396,17 @@ def bench_large():
                                      ).mean(1) * 8.0
                     + np.random.default_rng(i + 2).standard_normal(n)
                     ).astype(np.float32) for i in range(n_phenos - 1)])
+        # warm the k-pheno executables on a one-block slice, then time the
+        # full batched call (one-time compiles otherwise dominate a single
+        # measurement: 41.8 s with compiles vs the steady-state scan)
+        pygemma(Yk, X.cols(0, block), W, lrk, config=cfg)
         t0 = time.time()
         dfk = pygemma(Yk, X, W, lrk, config=cfg)
         multi_secs = time.time() - t0
         nfin_k = int(np.isfinite(dfk["p_wald"]).sum())
-        log(f"multi-pheno batched scan (k={n_phenos}): {multi_secs:.1f}s "
-            f"-> {n_phenos * p / multi_secs:.0f} SNP-tests/s "
-            f"(finite: {nfin_k}/{n_phenos * p})")
+        log(f"multi-pheno batched scan (k={n_phenos}, warm): "
+            f"{multi_secs:.1f}s -> {n_phenos * p / multi_secs:.0f} "
+            f"SNP-tests/s (finite: {nfin_k}/{n_phenos * p})")
 
     # --- tunnel accounting: 2-bit codes + per-column affine sidecars.
     # effective = sustained rate the overlapped scan achieved; measured =
