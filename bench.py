@@ -260,10 +260,24 @@ def bench_large():
     # implicit path.
     eigh_stages_cold = {}
     t0 = time.time()
-    basis = lowrank_top_basis(lrk, timings=eigh_stages_cold)
-    # scalar pulls, not block_until_ready: the tunnel returns from
-    # block_until_ready before remote execution finishes
-    float(jnp.sum(basis.ev_top) + jnp.sum(basis.U_top[0]))
+    # bounded retry on ResourceExhausted: on this tunneled backend a
+    # previous process's HBM can take a few seconds to release after its
+    # exit, and a bench started back-to-back OOMs on its very first
+    # allocation (observed once; the device was healthy 30 s later)
+    for attempt in range(3):
+        try:
+            basis = lowrank_top_basis(lrk, timings=eigh_stages_cold)
+            # scalar pulls, not block_until_ready: the tunnel returns from
+            # block_until_ready before remote execution finishes
+            float(jnp.sum(basis.ev_top) + jnp.sum(basis.U_top[0]))
+            break
+        except Exception as e:
+            if "RESOURCE_EXHAUSTED" not in str(e) or attempt == 2:
+                raise
+            log(f"cold eigh hit ResourceExhausted (attempt {attempt}); "
+                "waiting 30s for the previous process's HBM to release")
+            time.sleep(30.0)
+            t0 = time.time()
     eigh_cold_secs = time.time() - t0
     log(f"implicit low-rank eigh COLD (n={n}, p_k={k_snps}): "
         f"{eigh_cold_secs:.1f}s stages={eigh_stages_cold}")
